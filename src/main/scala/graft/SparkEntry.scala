@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query inventory re-expresses the reference's capability surface
+  * (scan / filter / hash join / limit+offset,
+  * `/root/reference/src/executor/mod.rs:250-466`) plus the SURVEY.md §2.2 ▲
+  * extensions (joins variants, aggregations, windows, set ops, scalar/JSON
+  * functions) and the north-star LLM-pipeline operators (dedup, similarity,
+  * text analysis, multimodal), each as a deterministic DataFrame query with
+  * (where dialect-stable) a DuckDB oracle.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: scan → filter(build side) → inner hash equi-join →
+    * offset/limit, the reference's one hand-wired plan
+    * (`/root/reference/src/main.rs:29-48`), on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Relational.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries ++
+      ops.Aggregates.queries ++
+      ops.Scalars.queries ++
+      ops.TextOps.queries ++
+      ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.Multimodal.queries
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted for non-SQL-expressible / non-dialect-stable ops
+    * (minhash/simhash/langid/approx/ANN) → driver records rows-only check. */
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracle ++
+      ops.Aggregates.oracle ++
+      ops.Scalars.oracle ++
+      ops.TextOps.oracle ++
+      ops.Dedup.oracle ++
+      ops.Similarity.oracle ++
+      ops.Multimodal.oracle
 }

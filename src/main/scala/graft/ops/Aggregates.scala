@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregations + window functions (▲ extensions, SURVEY.md §2.2 — the
+  * reference has no group-by or windows at all).
+  *
+  * Scale notes: `groupBy.agg` compiles to partial (map-side) HashAggregate →
+  * shuffle on the group key → final HashAggregate, so the shuffle carries one
+  * row per (partition, key), not per input row. `countDistinct` expands to a
+  * two-phase distinct aggregate; for 100 TB cardinality estimation prefer
+  * `approx_count_distinct` (HLL++, constant memory — registered as its own
+  * query). Double sums are rounded at the declared decimal scale of the data
+  * so the Spark-vs-DuckDB accumulation-order difference (~1e-10 relative)
+  * can never cross a rounding boundary.
+  */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary (filter + multi-agg group-by). */
+  val q1Agg: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct counting per group. */
+  val aggDistinct: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — the 100 TB path (constant memory per group;
+    * no exact-distinct shuffle explosion). Not oracle-checked (approximate). */
+  val aggApprox: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP: hierarchical subtotals + grand total. */
+  val rollup: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE: all grouping-set combinations. */
+  val cube: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private def perCustomer = Window.partitionBy(col("o_custkey"))
+
+  /** row_number ranking per customer (top-3 most recent orders). The window
+    * shuffles once on o_custkey; the rank filter is evaluated streaming over
+    * each sorted partition. */
+  val windowRank: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("rn", row_number().over(perCustomer.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+
+  /** lag(): previous order price per customer + delta (exact double diff). */
+  val windowLag: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(perCustomer.orderBy(col("o_orderkey"))))
+      .withColumn("price_delta", col("o_totalprice") - col("prev_price"))
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** Sliding-frame sum: 3-row moving total per customer. */
+  val windowMovsum: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("movsum",
+        round(sum(col("o_totalprice")).over(
+          perCustomer.orderBy(col("o_orderkey")).rowsBetween(-2, Window.currentRow)), 2))
+      .select("o_custkey", "o_orderkey", "movsum")
+      .orderBy("o_custkey", "o_orderkey")
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q_agg_distinct" -> aggDistinct,
+    "q_agg_approx" -> aggApprox,
+    "q_rollup" -> rollup,
+    "q_cube" -> cube,
+    "q_window_rank" -> windowRank,
+    "q_window_lag" -> windowLag,
+    "q_window_movsum" -> windowMovsum,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price, round(avg(l_quantity), 2) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, prev_price, o_totalprice - prev_price AS price_delta FROM (SELECT o_custkey, o_orderkey, o_totalprice, lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price FROM orders) t ORDER BY o_custkey, o_orderkey""",
+    "q_window_movsum" ->
+      """SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS movsum FROM orders ORDER BY o_custkey, o_orderkey""",
+  )
+}

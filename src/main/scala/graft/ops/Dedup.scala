@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection: MinHash+LSH, SimHash, and blocked n-gram
+  * Jaccard (north-star mandate).
+  *
+  * Scale design — the only one that survives 100 TB:
+  *   - NEVER all-pairs. Candidate generation is a shuffle on an LSH band key
+  *     (band-signature buckets); only within-bucket pairs are scored.
+  *   - Signatures are fixed-width (64 minhashes / 64 simhash bits) per doc —
+  *     the signature table is ~1/1000 the corpus size and is what shuffles.
+  *   - The exact-Jaccard verify only runs on LSH candidates (tiny).
+  * With 16 bands × 4 rows, P(candidate) = 1-(1-j^4)^16: j=0.8 → 0.986,
+  * j=0.5 → 0.64, j=0.3 → 0.12 — the classic S-curve.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Word 3-gram shingles (falls back to the whole text for tiny docs). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array(text))
+  }
+
+  /** doc_id → 64 minhashes. One explode + one groupBy: the shuffle carries
+    * (doc_id, shingle-hash) pairs pre-combined map-side by the partial min. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val mins = (0 until NumHashes).map(k =>
+      min(xxhash64(col("sh"), lit(k))).as(s"h$k"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, sig): band signature = hash of that band's minhash rows. */
+  def minhashBands(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(j => col(s"h${b * RowsPerBand + j}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs = equi-join on (band, sig) — the LSH bucket shuffle. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for a pair table (verify stage — runs only on
+    * LSH candidates, never the full cross product). */
+  def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → minhash → band → bucket-join →
+    * exact verify ≥ 0.6. Not oracle-checked (xxhash64 is Spark-specific);
+    * recall/precision asserted in DedupSpec on planted near-dups. */
+  val minhashPairs: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val cands = candidatePairs(minhashBands(minhashSignatures(docs)))
+    exactJaccard(cands, docs)
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document + 4×16-bit LSH band keys (near-dups agree
+    * on ≥1 band with high probability at hamming distance ≤ 3). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.withColumn("simhash", sim)
+      .select(Seq(col("doc_id"), col("simhash")) ++
+        (0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"band$i")): _*)
+  }
+
+  val simhash: Q = (s, d) =>
+    simhashSignatures(Tables(s, d, "documents")).orderBy("doc_id")
+
+  /** Blocked exact n-gram (token-set) Jaccard: blocking on (lang, length
+    * bucket) bounds the quadratic term to within-block pairs — the exact
+    * verifier companion to the MinHash candidate generator. */
+  val ngramJaccard: Q = (s, d) => {
+    val t = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), floor(col("n_chars") / lit(64)).as("lenb"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("lenb"), col("toks").as("toks_a"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("lenb"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang", "lenb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_minhash_pairs" -> minhashPairs,
+    "q_simhash" -> simhash,
+    "q_ngram_jaccard" -> ngramJaccard,
+  )
+
+  /** q_minhash_pairs / q_simhash hash with Spark-specific xxhash64 → no
+    * DuckDB oracle (rows-only check); q_ngram_jaccard is exact set algebra
+    * and oracle-checked. */
+  val oracle: Map[String, String] = Map(
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lenb, list_distinct(str_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard FROM t a JOIN t b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8 ORDER BY doc_a, doc_b""",
+  )
+}

