@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** MinHash+LSH and SimHash near-dup detection on planted duplicates. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val base =
+    "spark query engine shuffles data between stages using hash partitioning " +
+      "while the optimizer pushes filters below joins and prunes unused columns"
+  // One token changed → very high shingle overlap.
+  private val nearDup = base.replace("prunes", "drops")
+  private val unrelated =
+    "completely different text about cooking pasta with tomato sauce and basil " +
+      "leaves while the water boils slowly on the old kitchen stove tonight"
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair and not the unrelated one") {
+    val cands = Dedup.candidatePairs(Dedup.minhashBands(Dedup.minhashSignatures(docs)))
+    val verified = Dedup.exactJaccard(cands, docs)
+      .filter(col("jaccard") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((0L, 1L)))
+  }
+
+  test("exact jaccard values are sensible") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.exactJaccard(pairs, docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) > 0.85)
+    assert(j((0L, 2L)) < 0.15)
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val sig = Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) <= 8)
+    assert(hamming(sig(0L), sig(2L)) >= 16)
+  }
+
+  test("shingles produce n-2 word 3-grams") {
+    import spark.implicits._
+    val sh = Seq(Tuple1("a b c d e")).toDF("text")
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+}

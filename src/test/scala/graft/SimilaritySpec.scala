@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Vector math correctness + ANN recall on planted neighbors. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("dot / norm / cosine against hand-computed values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 3.0f, 0.0f, 0.0f), Array(2.0f, 3.0f, 0.0f, 0.0f)),
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        Similarity.dot(Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("dot"),
+        Similarity.cosine(Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))).as("cos"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(1L)._1 == 0.0 && m(1L)._2 == 0.0)
+    assert(m(2L)._1 == 1.0 && math.abs(m(2L)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(m(3L)._1 == 13.0 && math.abs(m(3L)._2 - 1.0) < 1e-12)
+  }
+
+  test("sign-LSH ANN recalls planted same-bucket neighbors perfectly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // 5 planted neighbors: tiny perturbation, sign pattern preserved.
+    val planted = (1L to 5L).map { i =>
+      (i, q.map(x => x + math.signum(x) * 0.01f * i))
+    }
+    val noise = (100L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = ((0L, q) +: (planted ++ noise)).toDF("vec_id", "embedding")
+
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(Similarity.toDouble(col("embedding")).as("qv"))
+      .withColumn("qbucket", Similarity.signBucket(col("qv")))
+    val top5 = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v")))
+      .crossJoin(broadcast(qv))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+      .select(col("vec_id"), Similarity.cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc)
+      .limit(5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top5 == Set(1L, 2L, 3L, 4L, 5L))
+  }
+}
