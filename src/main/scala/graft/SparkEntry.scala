@@ -28,7 +28,8 @@ object SparkEntry {
       ops.TextOps.queries ++
       ops.Dedup.queries ++
       ops.Similarity.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++
+      ops.Custom.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible / non-dialect-stable ops
@@ -40,5 +41,6 @@ object SparkEntry {
       ops.TextOps.oracle ++
       ops.Dedup.oracle ++
       ops.Similarity.oracle ++
-      ops.Multimodal.oracle
+      ops.Multimodal.oracle ++
+      ops.Custom.oracle
 }

@@ -32,13 +32,19 @@ object Dedup {
       .otherwise(array(text))
   }
 
-  /** doc_id → 64 minhashes. One explode + one groupBy: the shuffle carries
-    * (doc_id, shingle-hash) pairs pre-combined map-side by the partial min. */
+  /** doc_id → 64 minhashes. The shingle string is hashed ONCE; the 64
+    * per-permutation values rehash that fixed-width long with the
+    * permutation index (`xxhash64(h, k)`) — at 100 TB this is the
+    * difference between 64 variable-length string hashes per shingle and
+    * one, and (unlike an affine `a*h+b` family) it can't overflow under
+    * ANSI arithmetic. One explode + one groupBy: the shuffle carries
+    * (doc_id, 64 partial mins) pre-combined map-side, NOT raw shingles. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val mins = (0 until NumHashes).map(k =>
-      min(xxhash64(col("sh"), lit(k))).as(s"h$k"))
+      min(xxhash64(col("h"), lit(k))).as(s"h$k"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 

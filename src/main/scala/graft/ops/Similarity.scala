@@ -33,14 +33,18 @@ object Similarity {
 
   private def queryVector(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(toDouble(col("embedding")).as("qv"))
+      .select(col("embedding").as("qemb"))
 
-  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  /** Brute-force cosine top-10 against the vec_id=0 query vector, scored by
+    * the native codegen'd [[graft.functions.CosineSimilarity]] expression
+    * (bit-identical to the `cosine` composition above — asserted in
+    * NativeExprSpec — but with zero per-row array allocation). */
   val cosineTopk: Q = (s, d) => {
     val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding"))
     emb.crossJoin(broadcast(queryVector(s, d)))
-      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .select(col("vec_id"),
+        graft.functions.Functions.cosineSim(col("embedding"), col("qemb")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
@@ -58,12 +62,13 @@ object Similarity {
     * check; recall vs brute force asserted in SimilaritySpec. */
   val annLsh: Q = (s, d) => {
     val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("bucket", signBucket(col("v")))
-    val q = queryVector(s, d).withColumn("qbucket", signBucket(col("qv")))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", signBucket(col("embedding")))
+    val q = queryVector(s, d).withColumn("qbucket", signBucket(col("qemb")))
     emb.crossJoin(broadcast(q))
       .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
-      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .select(col("vec_id"),
+        graft.functions.Functions.cosineSim(col("embedding"), col("qemb")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))

@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A closed user session: sessionization output (top-level for encoder
+  * derivation). */
+final case class UserSession(user_id: Long, events: Long, start_ms: Long, end_ms: Long)
+
+/** Per-key sessionization state: three longs, O(1) per user. */
+final case class SessionState(events: Long, startMs: Long, lastMs: Long)
 
 /** Structured Streaming surface. The reference's pull pipeline is labeled
   * "// streaming" (`/root/reference/src/main.rs:34`) — incremental
@@ -21,5 +29,57 @@ object Streams {
     src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
+    * stateful-operator extension point (KeyValueGroupedDataset state API).
+    * A session closes when a later event for the key arrives more than `gap`
+    * after the previous one; with `idleTimeout=true` a processing-time
+    * timeout additionally flushes sessions for keys that go silent (at the
+    * cost of the stream running timeout batches even when idle — leave it
+    * off for tests that drain with processAllAvailable). State per key is
+    * O(1) — three longs — regardless of corpus size, so 100 TB of events
+    * shards by user_id and never accumulates unbounded state. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L,
+                 idleTimeout: Boolean = false): Dataset[UserSession] = {
+    import spark.implicits._
+    val timeout =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .select(col("user_id").cast("long"),
+        col("ts").cast("timestamp").cast("long").*(1000L).as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), timeout) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(user, s.events, s.startMs, s.lastMs))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { ms =>
+              cur match {
+                case Some(s) if ms - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(events = s.events + 1, lastMs = ms))
+                case Some(s) =>
+                  closed ::= UserSession(user, s.events, s.startMs, s.lastMs)
+                  cur = Some(SessionState(1, ms, ms))
+                case None =>
+                  cur = Some(SessionState(1, ms, ms))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (idleTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 }
