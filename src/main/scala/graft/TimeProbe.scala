@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: isolate where slow queries spend time. */
+object TimeProbe {
+  def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // warmup
+    time("warmup count")(Tables(spark, d, "region").count())
+
+    val emb = Tables(spark, d, "embeddings")
+    time("emb scan count")(emb.count())
+    time("emb scan collect arrays")(emb.select("embedding").count())
+    time("cosine_topk 1st")(ops.Similarity.cosineTopk(spark, d).count())
+    time("cosine_topk 2nd")(ops.Similarity.cosineTopk(spark, d).count())
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    time("cross+native cosine only")(
+      emb.crossJoin(broadcast(q))
+        .select(functions.Functions.cosineSim(col("embedding"), col("qemb")).as("c"))
+        .agg(sum("c")).collect())
+
+    time("join_anti 1st")(ops.Relational.joinAnti(spark, d).count())
+    time("join_anti 2nd")(ops.Relational.joinAnti(spark, d).count())
+    val li = Tables(spark, d, "lineitem").select("l_partkey")
+    val p = Tables(spark, d, "part").select("p_partkey")
+    time("anti with distinct build")(
+      p.join(li.distinct(), col("p_partkey") === col("l_partkey"), "left_anti").count())
+
+    time("minhash_pairs")(ops.Dedup.minhashPairs(spark, d).count())
+    time("minhash signatures only")(
+      ops.Dedup.minhashSignatures(Tables(spark, d, "documents")).count())
+    spark.stop()
+  }
+}

@@ -96,8 +96,46 @@ object Aggregates {
       .select("o_custkey", "o_orderkey", "movsum")
       .orderBy("o_custkey", "o_orderkey")
 
+  /** Exact interpolated percentiles per group (the exact baseline; at 100 TB
+    * use approx_percentile — the t-digest/KLL-style sketch — instead of the
+    * full sort this implies). */
+  val percentile: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  /** Pivot: order counts by status × priority (pivot compiles to CASE-WHEN
+    * aggregates — one shuffle, no transpose materialization). */
+  val pivot: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "cnt_f", "O" -> "cnt_o", "P" -> "cnt_p"))
+      .orderBy("o_orderpriority")
+
+  /** Forced sort-merge join (`hint("merge")`): the 100 TB fact⋈fact shape —
+    * both sides shuffle on the key and stream-merge; no in-memory hash table
+    * to blow up. */
+  val joinSortMerge: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderstatus").hint("merge")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "q_percentile" -> percentile,
+    "q_pivot" -> pivot,
+    "q_join_sortmerge" -> joinSortMerge,
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx" -> aggApprox,
     "q_rollup" -> rollup,
@@ -108,6 +146,12 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.95), 2) AS p95, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_pivot" ->
+      """SELECT o_orderpriority, CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f, CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o, CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_sortmerge" ->
+      """SELECT o_orderstatus, round(sum(l_extendedprice), 2) AS sum_price, CAST(count(*) AS BIGINT) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price, round(avg(l_quantity), 2) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" ->

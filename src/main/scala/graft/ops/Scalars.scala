@@ -72,7 +72,20 @@ object Scalars {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour")
 
+  /** from_json into a typed MapType + map access — the structured twin of
+    * get_json_object (schema enforced at parse, codegen'd access). */
+  val fromJson: Q = (s, d) =>
+    Tables(s, d, "events")
+      .withColumn("kv",
+        from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+      .select(
+        col("event_id"),
+        element_at(col("kv"), "k").as("k"),
+        size(map_keys(col("kv"))).as("n_keys"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "q_from_json" -> fromJson,
     "q_string" -> string,
     "q_math" -> math,
     "q_case" -> caseWhen,
@@ -82,6 +95,8 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k, CAST(len(json_keys(props)) AS INTEGER) AS n_keys FROM events ORDER BY event_id""",
     "q_string" ->
       """SELECT c_custkey, lower(c_name) AS lname, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 1, 5) AS prefix, c_mktsegment || '#' || c_name AS tagged FROM customer ORDER BY c_custkey""",
     "q_math" ->
