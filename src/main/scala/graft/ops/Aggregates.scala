@@ -67,16 +67,20 @@ object Aggregates {
 
   private def perCustomer = Window.partitionBy(col("o_custkey"))
 
-  /** row_number ranking per customer (top-3 most recent orders). The window
-    * shuffles once on o_custkey; the rank filter is evaluated streaming over
-    * each sorted partition. */
-  val windowRank: Q = (s, d) =>
+  /** row_number / rank / dense_rank per customer (top-3 earliest orders).
+    * The window shuffles once on o_custkey; the rank filter is evaluated
+    * streaming over each sorted partition. */
+  val windowRank: Q = (s, d) => {
+    val w = perCustomer.orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables(s, d, "orders")
       .select("o_custkey", "o_orderkey", "o_orderdate")
-      .withColumn("rn", row_number().over(perCustomer.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
       .filter(col("rn") <= 3)
-      .select("o_custkey", "o_orderkey", "rn")
+      .select("o_custkey", "o_orderkey", "rn", "rnk", "drnk")
       .orderBy("o_custkey", "rn")
+  }
 
   /** lag(): previous order price per customer + delta (exact double diff). */
   val windowLag: Q = (s, d) =>
@@ -131,8 +135,25 @@ object Aggregates {
       .orderBy("o_orderstatus")
   }
 
+  /** Skew-safe aggregation via salting: the hot-key pattern for 100 TB —
+    * stage 1 groups on (key, salt) so one hot key spreads over 16 reducers'
+    * partial aggregates; stage 2 merges the 16 partials per key. Results are
+    * identical to a plain groupBy (the oracle IS the plain groupBy). Spark's
+    * map-side partial aggregation covers mild skew already; explicit salting
+    * is for keys hot enough to overwhelm a single final-agg reducer. */
+  val saltedAgg: Q = (s, d) => {
+    val salted = Tables(s, d, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity")).as("pq"), count(lit(1)).as("pc"))
+    salted.groupBy("l_returnflag")
+      .agg(round(sum(col("pq")), 2).as("sum_qty"), sum(col("pc")).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "q_salted_agg" -> saltedAgg,
     "q_percentile" -> percentile,
     "q_pivot" -> pivot,
     "q_join_sortmerge" -> joinSortMerge,
@@ -146,6 +167,8 @@ object Aggregates {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_percentile" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS p50, round(quantile_cont(o_totalprice, 0.95), 2) AS p95, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_pivot" ->
@@ -161,7 +184,7 @@ object Aggregates {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, prev_price, o_totalprice - prev_price AS price_delta FROM (SELECT o_custkey, o_orderkey, o_totalprice, lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price FROM orders) t ORDER BY o_custkey, o_orderkey""",
     "q_window_movsum" ->

@@ -25,6 +25,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m(3L)._1 == 13.0 && math.abs(m(3L)._2 - 1.0) < 1e-12)
   }
 
+  test("embedding near-dup pairs finds planted duplicates within buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val emb = (Seq(
+      (0L, base),
+      (1L, base.map(x => x + math.signum(x) * 0.01f)), // near-dup of 0
+    ) ++ (10L until 60L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))))
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.embedNearDupPairs(emb, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    // random 16-dim gaussians essentially never reach cosine 0.95
+    assert(pairs.size <= 2)
+  }
+
   test("sign-LSH ANN recalls planted same-bucket neighbors perfectly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
