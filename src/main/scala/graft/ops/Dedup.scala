@@ -58,13 +58,20 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs = equi-join on (band, sig) — the LSH bucket shuffle. */
+  /** Candidate pairs from LSH buckets: ONE shuffle on (band, sig) building
+    * each bucket's member list, then pairs via a double explode — unlike a
+    * bands⋈bands self-join this never recomputes the signature subtree for
+    * the second side, and the within-bucket quadratic term is explicit
+    * (sorted member list, i<j slices). */
   def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    val buckets = bands
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .distinct()
   }
 

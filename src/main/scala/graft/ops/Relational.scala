@@ -180,7 +180,19 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(10)
 
+  /** SQL-text entry point (`spark.sql`) with a scalar subquery — the same
+    * engine surface as the DataFrame API, through the parser/analyzer. */
+  val sqlScalarSubquery: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS cnt
+        |FROM orders_v
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_scalar_subquery" -> sqlScalarSubquery,
     "q_flagship" -> flagship,
     "q_scan" -> scan,
     "q_scan_count" -> scanCount,
@@ -200,6 +212,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_flagship" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice >= 250000.0 ORDER BY l_orderkey, l_linenumber, l_quantity, o_totalprice LIMIT 200 OFFSET 100""",
     "q_scan" ->

@@ -113,7 +113,19 @@ object Similarity {
   val embedNearDup: Q = (s, d) =>
     embedNearDupPairs(Tables(s, d, "embeddings"), 0.35)
 
+  /** Array scalar functions over the embedding column (size / index /
+    * min / max) — all codegen'd, no UDFs. */
+  val arrayFns: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        col("embedding").getItem(0).cast("double").as("first_dim"),
+        array_min(col("embedding")).cast("double").as("min_dim"),
+        array_max(col("embedding")).cast("double").as("max_dim"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "q_array_fns" -> arrayFns,
     "q_cosine_topk" -> cosineTopk,
     "q_ann_lsh" -> annLsh,
     "q_embed_neardup" -> embedNearDup,
@@ -121,6 +133,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_array_fns" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, CAST(embedding[1] AS DOUBLE) AS first_dim, CAST(list_min(embedding) AS DOUBLE) AS min_dim, CAST(list_max(embedding) AS DOUBLE) AS max_dim FROM embeddings ORDER BY vec_id""",
     "q_cosine_topk" ->
       """SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT vec_id, list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS s FROM embeddings WHERE vec_id <> 0 ORDER BY s DESC, vec_id LIMIT 10) t ORDER BY vec_id""",
     "q_embed_stats" ->

@@ -92,7 +92,19 @@ object TextOps {
       .select(col("doc_id"), col("lang"), detectLang(col("text")).as("predicted_lang"))
       .orderBy("doc_id")
 
+  /** Corpus word count (explode → group → top-k): the canonical shuffle
+    * benchmark; map-side partial counts mean the shuffle carries one row per
+    * (task, token), not per occurrence. */
+  val wordcount: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "q_wordcount" -> wordcount,
     "q_dedup_exact" -> dedupExact,
     "q_text_stats" -> textStats,
     "q_text_quality" -> textQuality,
@@ -102,6 +114,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_wordcount" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
     "q_text_stats" ->
