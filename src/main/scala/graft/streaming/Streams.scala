@@ -31,6 +31,25 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Watermarked stream-stream inner join: purchases matched to the signup
+    * that preceded them by at most `window`. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's buffered
+    * state is evictable — the only stream-stream join shape that is safe at
+    * scale (unbounded-state joins OOM eventually). */
+  def purchasesAfterSignup(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups.select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
+      "inner")
+      .select(col("p_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
     * stateful-operator extension point (KeyValueGroupedDataset state API).
     * A session closes when a later event for the key arrives more than `gap`

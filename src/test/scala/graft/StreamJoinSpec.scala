@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Watermarked stream-stream join: purchases within 2h of a signup. */
+class StreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("stream-stream join matches purchases to preceding signup within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val signups = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val out = Streams.purchasesAfterSignup(signups.toDF(), purchases.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("sjoin_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      signups.addData(Ev(1, t("01:00"), 7, "signup", 0.0, "{}"))
+      purchases.addData(
+        Ev(2, t("02:30"), 7, "purchase", 42.0, "{}"),  // within 2h → joins
+        Ev(3, t("05:00"), 7, "purchase", 99.0, "{}"),  // 4h later → outside window
+        Ev(4, t("02:00"), 8, "purchase", 11.0, "{}"))  // no signup → no match
+      q.processAllAvailable()
+
+      val rows = spark.table("sjoin_test")
+        .collect().map(r => (r.getLong(0), r.getDouble(3)))
+      assert(rows.toSet == Set((7L, 42.0)))
+    } finally q.stop()
+  }
+}
