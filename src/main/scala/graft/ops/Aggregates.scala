@@ -112,6 +112,18 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy("o_orderstatus")
 
+  /** Sketch-based percentiles (the 100 TB path: bounded-memory mergeable
+    * summaries instead of the full per-group sort q_percentile implies).
+    * Approximate → rows-only check; bracketing vs exact asserted in tests
+    * via the oracle-checked q_percentile. */
+  val percentileApprox: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        approx_percentile(col("o_totalprice"), lit(0.95), lit(1000)).as("p95_approx"))
+      .orderBy("o_orderstatus")
+
   /** Pivot: order counts by status × priority (pivot compiles to CASE-WHEN
     * aggregates — one shuffle, no transpose materialization). */
   val pivot: Q = (s, d) =>
@@ -155,6 +167,7 @@ object Aggregates {
     "q1_agg" -> q1Agg,
     "q_salted_agg" -> saltedAgg,
     "q_percentile" -> percentile,
+    "q_percentile_approx" -> percentileApprox,
     "q_pivot" -> pivot,
     "q_join_sortmerge" -> joinSortMerge,
     "q_agg_distinct" -> aggDistinct,

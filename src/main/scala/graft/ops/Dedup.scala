@@ -139,8 +139,45 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Min-label propagation connected components over an undirected pair
+    * graph: each iteration every node adopts the smallest component label
+    * among itself and its neighbors (one join + one groupBy-min shuffle per
+    * iteration). Fixed `iterations` bounds cost; labels converge once
+    * iterations ≥ the longest chain in any cluster (near-dup clusters are
+    * shallow in practice). At 100 TB scale swap in the alternating
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same DataFrame shape. */
+  def connectedComponents(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    for (_ <- 0 until iterations) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      labels = labels
+        .union(viaNeighbor)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+    }
+    labels
+  }
+
+  /** End of the near-dup pipeline: every document in a near-dup cluster
+    * mapped to its canonical (minimum) doc_id, transitively closed — the
+    * table a dedup job joins against to drop non-canonical rows. */
+  val dedupClusters: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val cands = candidatePairs(minhashBands(minhashSignatures(docs)))
+    val verified = exactJaccard(cands, docs).filter(col("jaccard") >= 0.6)
+    connectedComponents(verified.select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_minhash_pairs" -> minhashPairs,
+    "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
     "q_ngram_jaccard" -> ngramJaccard,
   )

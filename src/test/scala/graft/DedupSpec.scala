@@ -49,6 +49,15 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sig(0L), sig(2L)) >= 16)
   }
 
+  test("connected components transitively close pair chains") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("shingles produce n-2 word 3-grams") {
     import spark.implicits._
     val sh = Seq(Tuple1("a b c d e")).toDF("text")
