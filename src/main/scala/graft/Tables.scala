@@ -19,10 +19,12 @@ object Tables {
       // by default; read it as raw nanos and truncate to a microsecond
       // timestamp (Spark's native precision).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Integral DIV, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+      // mantissa, so float division here silently loses microseconds.
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

