@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.Multimodal.queries ++
-      ops.Custom.queries
+      ops.Custom.queries ++
+      ops.AsOf.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible / non-dialect-stable ops
@@ -42,5 +43,6 @@ object SparkEntry {
       ops.Dedup.oracle ++
       ops.Similarity.oracle ++
       ops.Multimodal.oracle ++
-      ops.Custom.oracle
+      ops.Custom.oracle ++
+      ops.AsOf.oracle
 }

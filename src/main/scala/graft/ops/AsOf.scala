@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** AS-OF join — an operator Spark lacks natively, built by composition
+  * (builder-prompt preference (a): compose existing ops) rather than a
+  * custom SparkPlan: for each left row, the latest right row with
+  * right.ts <= left.ts for the same key.
+  *
+  * Shape: union both sides with a side marker, one window over
+  * (key, ts, side) carrying the last non-null right payload forward, then
+  * keep left rows. Cost at 100 TB: ONE shuffle on the key + a per-partition
+  * sort — the same price as a single sort-merge join, with no range
+  * explosion (a naive `left.ts >= right.ts` theta-join is quadratic).
+  * Correctness oracle: DuckDB's native ASOF JOIN.
+  */
+object AsOf {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Generic as-of join on one key and one event-time column. `right` must
+    * expose `payload` (the column to carry); ties (equal ts) match the
+    * right row (>= semantics, like DuckDB ASOF). Inner flavor: left rows
+    * with no prior right row are dropped. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               ts: String, payload: String): DataFrame = {
+    val l = left.withColumn("_side", lit(1)).withColumn(s"_$payload", lit(null).cast(right.schema(payload).dataType))
+    val r = right.select(col(key), col(ts), lit(0).as("_side"), col(payload).as(s"_$payload"))
+    val lAligned = l.select(Seq(col(key), col(ts), col("_side"), col(s"_$payload")) ++
+      left.columns.filterNot(c => c == key || c == ts).map(c => col(c)): _*)
+    val rAligned = r.select(Seq(col(key), col(ts), col("_side"), col(s"_$payload")) ++
+      left.columns.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAligned.union(rAligned)
+      .withColumn("_matched", last(col(s"_$payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_matched").isNotNull)
+      .drop("_side", s"_$payload")
+      .withColumnRenamed("_matched", payload)
+  }
+
+  /** Each purchase matched to the user's latest signup at-or-before it. */
+  val purchaseAsofSignup: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+    asofJoin(purchases, signups, "user_id", "ts", "signup_ts")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value"), col("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_asof_join" -> purchaseAsofSignup,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
+  )
+}

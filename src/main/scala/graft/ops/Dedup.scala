@@ -148,10 +148,18 @@ object Dedup {
     * large-star/small-star formulation (Kiveris et al., "Connected
     * Components in MapReduce and Beyond") — same DataFrame shape. */
   def connectedComponents(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    // Iterative DataFrame algorithms MUST truncate lineage each round:
+    // `labels` appears twice per iteration (join + union), so without a
+    // checkpoint the logical plan — and with it the whole upstream candidate
+    // pipeline — re-executes 2^iterations times. localCheckpoint materializes
+    // each round once (on a cluster, prefer reliable checkpoint() for fault
+    // tolerance on long chains).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .localCheckpoint()
     for (_ <- 0 until iterations) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("id"))
@@ -159,6 +167,7 @@ object Dedup {
       labels = labels
         .union(viaNeighbor)
         .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
     }
     labels
   }
