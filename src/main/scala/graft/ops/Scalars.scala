@@ -95,7 +95,36 @@ object Scalars {
       .select(col("user_id"), col("n_events"), col("session_start"))
       .orderBy("user_id", "session_start")
 
+  /** Null-handling functions over an outer-join's null side: coalesce,
+    * isnull flags, nullif. */
+  val nullFns: Q = (s, d) => {
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+    val rich = Tables(s, d, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select("c_custkey", "c_acctbal")
+    ord.join(rich, col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal_or_zero"),
+        col("c_custkey").isNull.as("is_poor"),
+        nullif(col("o_custkey") % 2, lit(0)).as("odd_or_null"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Date arithmetic: days from order to first shipment. */
+  val dateArith: Q = (s, d) => {
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderdate")
+    val li = Tables(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(min(col("l_shipdate")).as("first_ship"),
+        datediff(min(col("l_shipdate")), first(col("o_orderdate"))).as("days_to_ship"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_null_fns" -> nullFns,
+    "q_date_arith" -> dateArith,
     "q_session_window" -> sessionWindow,
     "q_from_json" -> fromJson,
     "q_string" -> string,
@@ -107,6 +136,10 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_null_fns" ->
+      """SELECT o_orderkey, coalesce(c_acctbal, 0.0) AS acctbal_or_zero, c_custkey IS NULL AS is_poor, nullif(o_custkey % 2, 0) AS odd_or_null FROM orders LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0) c ON o_custkey = c_custkey ORDER BY o_orderkey""",
+    "q_date_arith" ->
+      """SELECT o_orderkey, CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship, CAST(date_diff('day', CAST(min(o_orderdate) AS DATE), CAST(min(l_shipdate) AS DATE)) AS INTEGER) AS days_to_ship FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_session_window" ->
       """WITH marks AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marks) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(min(ts) AS TIMESTAMP) AS session_start FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_from_json" ->
