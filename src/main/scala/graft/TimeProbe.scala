@@ -43,6 +43,18 @@ object TimeProbe {
     time("minhash_pairs")(ops.Dedup.minhashPairs(spark, d).count())
     time("minhash signatures only")(
       ops.Dedup.minhashSignatures(Tables(spark, d, "documents")).count())
+
+    // Partial-merge invariance: the top-k Aggregator must give identical
+    // results regardless of how many partials get merged.
+    val r16 = {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      ops.Custom.udafTopK(spark, d).collect().toSeq
+    }
+    val r2 = {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      ops.Custom.udafTopK(spark, d).collect().toSeq
+    }
+    println(s"[probe] topk agg 16-vs-2 partitions identical: ${r16 == r2} (${r16.size} rows)")
     spark.stop()
   }
 }

@@ -58,12 +58,54 @@ object Custom {
       .select(col("doc_id"), vowelCount(col("text")).as("vowels"))
       .orderBy("doc_id")
 
+  /** Bounded-memory top-k per group as a typed Aggregator: the buffer is a
+    * k-capped sorted list, so partial aggregation keeps at most k rows per
+    * group per task — at 100 TB this replaces q_window_rank's full
+    * per-partition sort with an O(k) heap per group map-side, and the
+    * shuffle carries k rows per (task, group) instead of every row. */
+  final class TopKByPrice(k: Int)
+    extends Aggregator[(String, Double, Long, Int), Seq[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
+    private val ord: Ordering[(Double, Long, Int)] =
+      Ordering.by(t => (-t._1, t._2, t._3.toLong))
+    private def top(s: Seq[(Double, Long, Int)]) = s.sorted(ord).take(k)
+    override def zero: Seq[(Double, Long, Int)] = Nil
+    override def reduce(b: Seq[(Double, Long, Int)], in: (String, Double, Long, Int)) =
+      top(b :+ ((in._2, in._3, in._4)))
+    override def merge(a: Seq[(Double, Long, Int)], b: Seq[(Double, Long, Int)]) =
+      top(a ++ b)
+    override def finish(r: Seq[(Double, Long, Int)]): Seq[(Double, Long, Int)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Top-3 priciest lineitems per return flag via the bounded Aggregator;
+    * oracle is the equivalent window row_number query. */
+  val udafTopK: Q = (s, d) => {
+    import s.implicits._
+    Tables(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .as[(String, Double, Long, Int)]
+      .groupByKey(_._1)
+      .agg(new TopKByPrice(3).toColumn.name("topk"))
+      .toDF("l_returnflag", "topk")
+      .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("rank0", "e")))
+      .select(col("l_returnflag"), (col("rank0") + 1).cast("int").as("rnk"),
+        col("e._1").as("l_extendedprice"), col("e._2").as("l_orderkey"),
+        col("e._3").as("l_linenumber"))
+      .orderBy("l_returnflag", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_udaf_weighted_mean" -> udafWeightedMean,
+    "q_udaf_topk" -> udafTopK,
     "q_udf_vowels" -> udfVowels,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_udaf_topk" ->
+      """SELECT l_returnflag, CAST(rnk AS INTEGER) AS rnk, l_extendedprice, l_orderkey, l_linenumber FROM (SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk FROM lineitem) t WHERE rnk <= 3 ORDER BY l_returnflag, rnk""",
     "q_udaf_weighted_mean" ->
       """SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wmean_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_udf_vowels" ->

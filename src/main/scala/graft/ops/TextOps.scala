@@ -68,6 +68,22 @@ object TextOps {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing-style document fingerprints: rolling word-3-gram hashes,
+    * 0-mod-p sampled — two documents sharing content share fingerprints, so
+    * a join on (fp) finds copied passages across a 100 TB corpus with a
+    * shuffle proportional to the sampled fingerprint count (~1/8 of
+    * shingles), not the text. (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — the mod-p sampling variant.) */
+  val winnowFingerprints: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .filter(pmod(col("h"), lit(8)) === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        min(col("h")).as("min_fp"), max(col("h")).as("max_fp"))
+      .orderBy("doc_id")
+
   /** Heuristic language-ID: CJK char-class detection + per-language stopword
     * voting. Pure Column expression (codegen'd); accuracy is asserted on real
     * multilingual sentences in LangIdSpec. Not oracle-checked (the heuristic
@@ -110,6 +126,7 @@ object TextOps {
     "q_text_quality" -> textQuality,
     "q_lang_stats" -> langStats,
     "q_fingerprint" -> fingerprint,
+    "q_winnow_fps" -> winnowFingerprints,
     "q_langid" -> langId,
   )
 

@@ -49,6 +49,20 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sig(0L), sig(2L)) >= 16)
   }
 
+  test("winnowing fingerprints overlap for near-dups, not for unrelated docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, pmod, lit, xxhash64}
+    val fps = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .filter(pmod(col("h"), lit(4)) === 0)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val overlap01 = fps(0L).intersect(fps(1L)).size.toDouble / fps(0L).union(fps(1L)).size
+    val overlap02 = fps.get(2L).map(f2 => fps(0L).intersect(f2).size).getOrElse(0)
+    assert(overlap01 > 0.5, s"near-dup fingerprint jaccard $overlap01")
+    assert(overlap02 == 0)
+  }
+
   test("connected components transitively close pair chains") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
