@@ -47,6 +47,15 @@ class SinkSpec extends AnyFunSuite {
     assert(back.filter(col("name") === "beta").collect().head.getAs[Double]("score") == -2.25)
   }
 
+  test("orc sink/source round-trip") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).orderBy("id")
+    assert(back.count() == 3)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      sample.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     sample.withColumn("part", col("id") % 2)
