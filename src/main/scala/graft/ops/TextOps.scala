@@ -86,8 +86,8 @@ object TextOps {
 
   /** Heuristic language-ID: CJK char-class detection + per-language stopword
     * voting. Pure Column expression (codegen'd); accuracy is asserted on real
-    * multilingual sentences in LangIdSpec. Not oracle-checked (the heuristic
-    * is not dialect-stable SQL). */
+    * multilingual sentences in LangIdSpec, and the full decision function is
+    * mirrored in the DuckDB oracle (same stopword sets, same vote ordering). */
   def detectLang(text: Column): Column = {
     val toks = transform(tokens(lower(text)), t => t)
     def hits(words: Seq[String]): Column =
@@ -143,5 +143,7 @@ object TextOps {
       """SELECT lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+    "q_langid" ->
+      """WITH t AS (SELECT doc_id, lang, text, str_split(lower(text), ' ') AS toks FROM documents), v AS (SELECT doc_id, lang, text, len(list_filter(toks, x -> x IN ('the','and','of','is','a','to','in'))) AS en, len(list_filter(toks, x -> x IN ('el','la','los','las','que','de','y','es'))) AS es, len(list_filter(toks, x -> x IN ('le','les','des','est','et','une','dans'))) AS fr, len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS de FROM t) SELECT doc_id, lang, CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh' WHEN es > en AND es >= fr AND es >= de THEN 'es' WHEN fr > en AND fr >= de THEN 'fr' WHEN de > en THEN 'de' ELSE 'en' END AS predicted_lang FROM v ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guards: the scale-critical physical-plan properties
+  * (filter pushdown, column pruning, broadcast choice, top-k operator)
+  * asserted on the sf0.001 fixtures so a refactor can't silently trade them
+  * away. Static (pre-AQE) plan text only — no execution-order flake. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.explainString(FormattedMode)
+
+  test("flagship: predicate pushed into the orders scan, schema pruned, broadcast join, fused top-k") {
+    val p = plan("q_flagship")
+    assert(p.contains("GreaterThanOrEqual(o_totalprice,250000.0)"), "filter not pushed to scan")
+    assert(!p.contains("l_tax"), "lineitem schema not pruned")
+    assert(p.contains("BroadcastHashJoin"), "filtered build side should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "sort+offset+limit should fuse")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dimension joins broadcast, never sort-merge, at small build sizes") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("sort-merge hint forces the fact-fact shuffle shape") {
+    val p = plan("q_join_sortmerge")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("cosine top-k: scan reads only vec_id + embedding and uses the native expression") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("cosine_sim"), "native CosineSimilarity expression missing from plan")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "embedding scan should prune to two columns")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("salted aggregation keeps two aggregation levels") {
+    val p = plan("q_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final aggregates at both (key,salt) and key levels")
+  }
+
+  test("scan-level pruning: projection query never reads unused columns") {
+    val p = plan("q_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:double>")
+      || !p.contains("l_returnflag"), "projection should prune the scan schema")
+  }
+}
