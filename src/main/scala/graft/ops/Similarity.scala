@@ -132,7 +132,14 @@ object Similarity {
     "q_embed_stats" -> embedStats,
   )
 
+  private val BucketSql: String =
+    (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings), q AS (SELECT embedding AS qemb, bucket AS qbucket FROM eb WHERE vec_id = 0) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qemb) AS s FROM eb e, q WHERE e.vec_id <> 0 AND bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1 ORDER BY s DESC, e.vec_id LIMIT 10) t ORDER BY vec_id""",
+    "q_embed_neardup" ->
+      s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cos_sim FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35 ORDER BY vec_a, vec_b""",
     "q_array_fns" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, CAST(embedding[1] AS DOUBLE) AS first_dim, CAST(list_min(embedding) AS DOUBLE) AS min_dim, CAST(list_max(embedding) AS DOUBLE) AS max_dim FROM embeddings ORDER BY vec_id""",
     "q_cosine_topk" ->
