@@ -122,7 +122,24 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** Time-series gap fill: a dense hourly spine (sequence + explode over the
+    * observed range) left-joined to the sparse aggregate, empty hours
+    * zero-filled — the standard densification step before windowed
+    * time-series features. */
+  val gapFill: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("mn"), max(date_trunc("hour", col("ts"))).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_gapfill" -> gapFill,
     "q_null_fns" -> nullFns,
     "q_date_arith" -> dateArith,
     "q_session_window" -> sessionWindow,
@@ -136,6 +153,8 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gapfill" ->
+      """WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS cnt FROM events GROUP BY 1), spine AS (SELECT unnest(generate_series((SELECT min(hour) FROM hourly), (SELECT max(hour) FROM hourly), INTERVAL 1 HOUR)) AS hour) SELECT s.hour, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt FROM spine s LEFT JOIN hourly h ON s.hour = h.hour ORDER BY s.hour""",
     "q_null_fns" ->
       """SELECT o_orderkey, coalesce(c_acctbal, 0.0) AS acctbal_or_zero, c_custkey IS NULL AS is_poor, nullif(o_custkey % 2, 0) AS odd_or_null FROM orders LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0) c ON o_custkey = c_custkey ORDER BY o_orderkey""",
     "q_date_arith" ->

@@ -34,6 +34,28 @@ class EdgeSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("gap fill zero-fills missing hours on sparse data") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val sparse = Seq(
+      Timestamp.valueOf("2024-01-01 00:10:00"),
+      Timestamp.valueOf("2024-01-01 03:20:00"), // hours 01 and 02 are empty
+      Timestamp.valueOf("2024-01-01 03:40:00"),
+    ).toDF("ts")
+    val hourly = sparse.groupBy(org.apache.spark.sql.functions.date_trunc("hour", col("ts")).as("hour"))
+      .count()
+    val spine = sparse
+      .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.date_trunc("hour", col("ts"))).as("mn"),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.date_trunc("hour", col("ts"))).as("mx"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+    val filled = spine.join(hourly, Seq("hour"), "left")
+      .select(col("hour"), org.apache.spark.sql.functions.coalesce(col("count"), org.apache.spark.sql.functions.lit(0L)).as("cnt"))
+      .orderBy("hour")
+      .collect().map(r => r.getTimestamp(0).toString.substring(11, 13) -> r.getLong(1))
+    assert(filled.toSeq == Seq("00" -> 1L, "01" -> 0L, "02" -> 0L, "03" -> 2L))
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
