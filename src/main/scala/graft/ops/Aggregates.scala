@@ -82,6 +82,32 @@ object Aggregates {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Distribution window functions: percent_rank / cume_dist / ntile over a
+    * total (tie-free) order within each customer. */
+  val windowDist: Q = (s, d) => {
+    val w = perCustomer.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, d, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .select("o_custkey", "o_orderkey", "pct_rank", "cume", "quartile")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Statistical aggregates: stddev / variance / correlation / covariance
+    * (rounded at 4 — both engines' streaming moment updates agree to
+    * ~1e-12 relative). */
+  val statsAgg: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
   /** lag(): previous order price per customer + delta (exact double diff). */
   val windowLag: Q = (s, d) =>
     Tables(s, d, "orders")
@@ -175,6 +201,8 @@ object Aggregates {
     "q_rollup" -> rollup,
     "q_cube" -> cube,
     "q_window_rank" -> windowRank,
+    "q_window_dist" -> windowDist,
+    "q_stats_agg" -> statsAgg,
     "q_window_lag" -> windowLag,
     "q_window_movsum" -> windowMovsum,
   )
@@ -196,6 +224,10 @@ object Aggregates {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_custkey, o_orderkey""",
+    "q_stats_agg" ->
+      """SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, round(var_samp(l_quantity), 4) AS var_qty, round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_window_lag" ->

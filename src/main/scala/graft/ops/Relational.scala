@@ -172,6 +172,15 @@ object Relational {
     p.except(li).orderBy("p_partkey")
   }
 
+  /** EXCEPT ALL — multiset difference (duplicates preserved minus
+    * matched occurrences). */
+  val exceptAll: Q = (s, d) => {
+    val o = Tables(s, d, "orders").select(col("o_custkey").as("custkey"))
+    val c = Tables(s, d, "customer").filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("custkey"))
+    o.exceptAll(c).orderBy("custkey")
+  }
+
   /** Top-k: orderBy + limit compiles to TakeOrderedAndProject — per-partition
     * heap then a k-row merge on the driver; no global sort at scale. */
   val topk: Q = (s, d) =>
@@ -208,6 +217,7 @@ object Relational {
     "q_union" -> union,
     "q_intersect" -> intersect,
     "q_except" -> except,
+    "q_except_all" -> exceptAll,
     "q_topk" -> topk,
   )
 
@@ -244,6 +254,8 @@ object Relational {
       """SELECT o_custkey AS custkey FROM orders INTERSECT SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0 ORDER BY custkey""",
     "q_except" ->
       """SELECT p_partkey FROM part EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""",
+    "q_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders EXCEPT ALL SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0 ORDER BY custkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
   )
