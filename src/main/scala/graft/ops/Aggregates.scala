@@ -58,6 +58,16 @@ object Aggregates {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** grouping_id / grouping markers over a rollup — distinguishes "NULL
+    * because subtotal" from "NULL in the data". */
+  val groupingId: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        grouping_id().cast("int").as("gid"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** CUBE: all grouping-set combinations. */
   val cube: Q = (s, d) =>
     Tables(s, d, "orders")
@@ -199,6 +209,7 @@ object Aggregates {
     "q_agg_distinct" -> aggDistinct,
     "q_agg_approx" -> aggApprox,
     "q_rollup" -> rollup,
+    "q_grouping_id" -> groupingId,
     "q_cube" -> cube,
     "q_window_rank" -> windowRank,
     "q_window_dist" -> windowDist,
@@ -220,6 +231,8 @@ object Aggregates {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price, round(avg(l_quantity), 2) AS avg_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid, CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q_cube" ->
