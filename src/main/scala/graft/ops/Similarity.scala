@@ -124,7 +124,17 @@ object Similarity {
         array_max(col("embedding")).cast("double").as("max_dim"))
       .orderBy("vec_id")
 
+  /** Per-dimension corpus statistics (posexplode → group by position) — the
+    * feature-profile pass of an embedding pipeline. */
+  val dimStats: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(sum(col("x").cast("double")), 4).as("sum_x"), count(lit(1)).as("cnt"))
+      .orderBy("pos")
+
   val queries: Map[String, Q] = Map(
+    "q_dim_stats" -> dimStats,
     "q_array_fns" -> arrayFns,
     "q_cosine_topk" -> cosineTopk,
     "q_ann_lsh" -> annLsh,
@@ -136,6 +146,8 @@ object Similarity {
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_dim_stats" ->
+      """SELECT CAST(i - 1 AS INTEGER) AS pos, round(sum(CAST(x AS DOUBLE)), 4) AS sum_x, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) t GROUP BY i ORDER BY pos""",
     "q_ann_lsh" ->
       s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings), q AS (SELECT embedding AS qemb, bucket AS qbucket FROM eb WHERE vec_id = 0) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qemb) AS s FROM eb e, q WHERE e.vec_id <> 0 AND bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1 ORDER BY s DESC, e.vec_id LIMIT 10) t ORDER BY vec_id""",
     "q_embed_neardup" ->

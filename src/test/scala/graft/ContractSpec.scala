@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract self-checks: these failing would silently zero an entire
+  * correctness round, so they fail loudly here instead. */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("no query-name collisions across ops modules (Map ++ would shadow silently)") {
+    val moduleSizes = Seq(
+      ops.Relational.queries.size, ops.Aggregates.queries.size,
+      ops.Scalars.queries.size, ops.TextOps.queries.size,
+      ops.Dedup.queries.size, ops.Similarity.queries.size,
+      ops.Multimodal.queries.size, ops.Custom.queries.size,
+      ops.AsOf.queries.size).sum
+    assert(SparkEntry.queries.size == moduleSizes,
+      "a query name is registered by more than one module")
+  }
+
+  test("every oracle entry has a matching registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("entry() yields rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and yields a non-empty schema on the smoke fixture") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.schema.nonEmpty, s"$name produced an empty schema")
+    }
+  }
+}
