@@ -23,7 +23,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // Inputs must be array<float> (the embeddings storage type).
+  // Inputs must be array<float> (the embeddings storage type) — reading a
+  // double-backed array via getFloat would silently return garbage, so
+  // anything else (e.g. a SQL array(1.0, 0.0) literal, which is
+  // array<double>) must fail analysis, not produce wrong numbers.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float> arguments (cast with CAST(x AS ARRAY<FLOAT>)), " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "cosine_sim"

@@ -26,20 +26,31 @@ object AsOf {
     * with no prior right row are dropped. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                ts: String, payload: String): DataFrame = {
-    val l = left.withColumn("_side", lit(1)).withColumn(s"_$payload", lit(null).cast(right.schema(payload).dataType))
-    val r = right.select(col(key), col(ts), lit(0).as("_side"), col(payload).as(s"_$payload"))
-    val lAligned = l.select(Seq(col(key), col(ts), col("_side"), col(s"_$payload")) ++
+    // The carried value is a single-field STRUCT, not the bare payload:
+    // right rows always contribute a non-null struct (even when the payload
+    // itself is NULL), so "no prior right row" (null struct) stays
+    // distinguishable from "prior right row with a NULL payload" — matching
+    // ASOF join semantics exactly.
+    val wrapped = s"_w_$payload"
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn(wrapped,
+        lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p", right.schema(payload).dataType)))))
+    val r = right.select(col(key), col(ts), lit(0).as("_side"),
+      struct(col(payload).as("p")).as(wrapped))
+    val lAligned = l.select(Seq(col(key), col(ts), col("_side"), col(wrapped)) ++
       left.columns.filterNot(c => c == key || c == ts).map(c => col(c)): _*)
-    val rAligned = r.select(Seq(col(key), col(ts), col("_side"), col(s"_$payload")) ++
+    val rAligned = r.select(Seq(col(key), col(ts), col("_side"), col(wrapped)) ++
       left.columns.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.union(rAligned)
-      .withColumn("_matched", last(col(s"_$payload"), ignoreNulls = true).over(w))
+      .withColumn("_matched", last(col(wrapped), ignoreNulls = true).over(w))
       .filter(col("_side") === 1 && col("_matched").isNotNull)
-      .drop("_side", s"_$payload")
-      .withColumnRenamed("_matched", payload)
+      .withColumn(payload, col("_matched.p"))
+      .drop("_side", wrapped, "_matched")
   }
 
   /** Each purchase matched to the user's latest signup at-or-before it. */

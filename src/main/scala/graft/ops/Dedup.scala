@@ -75,6 +75,11 @@ object Dedup {
       .distinct()
   }
 
+  /** Set Jaccard of two token-array columns — the single definition used by
+    * both the LSH verify stage and the blocked exact scan. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
   /** Exact token-set Jaccard for a pair table (verify stage — runs only on
     * LSH candidates, never the full cross product). */
   def exactJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
@@ -82,9 +87,7 @@ object Dedup {
     pairs
       .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -131,9 +134,7 @@ object Dedup {
     val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("lenb"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "lenb"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

@@ -67,8 +67,10 @@ object Streams {
       if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     events
-      .select(col("user_id").cast("long"),
-        col("ts").cast("timestamp").cast("long").*(1000L).as("ms"))
+      // unix_millis, NOT cast-to-long: casting a timestamp to long yields
+      // whole SECONDS, which silently truncated sub-second gaps at the
+      // session boundary.
+      .select(col("user_id").cast("long"), unix_millis(col("ts").cast("timestamp")).as("ms"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, UserSession](

@@ -31,4 +31,17 @@ class AsOfSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Timestamp]("signup_ts")).toMap
     assert(out == Map(100L -> t("09:30"), 101L -> t("09:30")))
   }
+
+  test("a NULL right payload is still a match — no fallback to a stale earlier row") {
+    import spark.implicits._
+    val left = Seq((1L, t("10:00"), 200L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, t("08:00"), Option(t("08:00"))),
+      (1L, t("09:30"), Option.empty[Timestamp]), // latest eligible row, NULL payload
+    ).toDF("user_id", "ts", "signup_ts")
+    val rows = AsOf.asofJoin(left, right, "user_id", "ts", "signup_ts").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Timestamp]("signup_ts") == null,
+      "must match the 09:30 row's NULL payload, not fall back to 08:00")
+  }
 }

@@ -27,10 +27,14 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs and yields a non-empty schema on the smoke fixture") {
+  test("every query EXECUTES (not just analyzes) on the smoke fixture") {
+    // .limit(1).collect() forces real execution — runtime-only failures
+    // (ANSI overflow, codegen errors) don't show up at analysis time.
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, "/root/testdata/sf0.001")
       assert(df.schema.nonEmpty, s"$name produced an empty schema")
+      try df.limit(1).collect()
+      catch { case e: Throwable => fail(s"$name failed at runtime: ${e.getMessage}") }
     }
   }
 }

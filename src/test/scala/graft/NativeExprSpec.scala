@@ -46,6 +46,15 @@ class NativeExprSpec extends AnyFunSuite {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("double arrays are rejected at analysis time, not silently misread") {
+    Functions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.toLowerCase.contains("array<float>"))
+  }
+
   test("registers as a SQL function") {
     Functions.register(spark)
     val r = spark.sql(

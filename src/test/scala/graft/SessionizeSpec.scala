@@ -42,4 +42,26 @@ class SessionizeSpec extends AnyFunSuite {
         closed.head.end_ms == t("00:10").getTime)
     } finally q.stop()
   }
+
+  test("sub-second gap boundaries are not truncated to whole seconds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[Ev]
+    val q = Streams.sessionize(spark, stream.toDF(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("subsec_sessions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // true gap = 1,800,800 ms > 30 min; whole-second truncation would give
+      // exactly 1,800,000 ms and wrongly merge the sessions.
+      stream.addData(
+        Ev(1, Timestamp.valueOf("2024-01-01 00:00:00.1"), 1, "c", 1.0, "{}"),
+        Ev(2, Timestamp.valueOf("2024-01-01 00:30:00.9"), 1, "c", 1.0, "{}"),
+        Ev(3, Timestamp.valueOf("2024-01-01 03:00:00.0"), 1, "c", 1.0, "{}"))
+      q.processAllAvailable()
+      val closed = spark.table("subsec_sessions").as[streaming.UserSession].collect()
+      assert(closed.length == 2, s"expected two distinct sessions, got ${closed.toSeq}")
+      assert(closed.forall(_.events == 1L))
+    } finally q.stop()
+  }
 }

@@ -41,7 +41,10 @@ def main(sf_dir, out_dir):
         if not files:
             bad.append((qdir, "no parquet written"))
             continue
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
+        # read ALL part files (coalesce(1) normally yields one, but never
+        # silently compare a single partition of a multi-part result)
+        spark_rel = con.sql(
+            f"SELECT * FROM read_parquet('{os.path.join(path, '*.parquet')}')")
         scols = sorted(spark_rel.columns)
         srows = con.sql(
             f"SELECT {', '.join(scols)} FROM spark_rel").fetchall()
