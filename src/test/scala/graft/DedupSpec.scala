@@ -49,6 +49,25 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sig(0L), sig(2L)) >= 16)
   }
 
+  test("a 100-document duplicate family resolves to one canonical cluster") {
+    import spark.implicits._
+    // 100 copies of one text (a hub bucket — the worst case for LSH bucket
+    // pair generation) + 20 distinct docs.
+    val family = (0L until 100L).map(i => (i, base))
+    // genuinely disjoint token sets (a shared template would itself be a
+    // near-dup at jaccard ~0.8 — the engine correctly clustered that)
+    val others = (1000L until 1020L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}x$j").mkString(" ")))
+    val docs = (family ++ others).toDF("doc_id", "text")
+    val cands = Dedup.candidatePairs(Dedup.minhashBands(Dedup.minhashSignatures(docs)))
+    val verified = Dedup.exactJaccard(cands, docs).filter(col("jaccard") >= 0.6)
+    val comps = Dedup.connectedComponents(verified.select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 100, s"expected all 100 family members clustered, got ${comps.size}")
+    assert(comps.values.toSet == Set(0L), "every family member must resolve to canonical doc 0")
+    assert(comps.keySet == (0L until 100L).toSet)
+  }
+
   test("winnowing fingerprints overlap for near-dups, not for unrelated docs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, pmod, lit, xxhash64}

@@ -30,6 +30,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("asofJoin == brute-force latest-at-or-before model on random data") {
+    import spark.implicits._
+    val gen = for {
+      nLeft <- Gen.choose(0, 15)
+      nRight <- Gen.choose(0, 15)
+      lrows <- Gen.listOfN(nLeft, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L)))
+      rrows <- Gen.listOfN(nRight, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L)))
+    } yield (lrows, rrows)
+    check(Prop.forAllNoShrink(gen) { case (lrows, rrows) =>
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("user_id", "ts", "event_id")
+      val right = rrows.distinct
+        .map { case (k, t) => (k, t, t * 1000 + k) }
+        .toDF("user_id", "ts", "payload")
+      val got = graft.ops.AsOf.asofJoin(left, right, "user_id", "ts", "payload")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("payload"))).toSet
+      val want = lrows.zipWithIndex.flatMap { case ((k, t), i) =>
+        val eligible = rrows.distinct.filter { case (rk, rt) => rk == k && rt <= t }
+        if (eligible.isEmpty) None
+        else {
+          val (_, bt) = eligible.maxBy(_._2)
+          Some((i.toLong, bt * 1000 + k))
+        }
+      }.toSet
+      got == want
+    })
+  }
+
   test("unique-key inner join cardinality == range intersection size") {
     val gen = for {
       a <- Gen.choose(0, 300)
