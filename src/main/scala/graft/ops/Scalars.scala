@@ -138,7 +138,42 @@ object Scalars {
       .orderBy("hour")
   }
 
+  /** Map higher-order functions over the parsed props map. */
+  val mapFns: Q = (s, d) =>
+    Tables(s, d, "events")
+      .withColumn("kv",
+        from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+      .select(
+        col("event_id"),
+        element_at(transform_values(col("kv"), (_, v) => v * 2), "k").as("k2"),
+        size(map_filter(col("kv"), (_, v) => v > 50)).as("n_big"))
+      .orderBy("event_id")
+
+  /** Second string batch: pad/trim/replace/reverse/repeat. */
+  val string2: Q = (s, d) =>
+    Tables(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        lpad(col("c_mktsegment"), 12, ".").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        reverse(col("c_mktsegment")).as("rev"),
+        repeat(substring(col("c_name"), 1, 2), 3).as("rep"))
+      .orderBy("c_custkey")
+
+  /** Conditional aggregation: count_if / FILTER-style sums. */
+  val countIf: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25.0).as("n_bulk"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)), 2).as("disc_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q_map_fns" -> mapFns,
+    "q_string2" -> string2,
+    "q_count_if" -> countIf,
     "q_gapfill" -> gapFill,
     "q_null_fns" -> nullFns,
     "q_date_arith" -> dateArith,
@@ -153,6 +188,12 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_map_fns" ->
+      """SELECT event_id, 2 * CAST(json_extract_string(props, 'k') AS BIGINT) AS k2, CAST(CASE WHEN CAST(json_extract_string(props, 'k') AS BIGINT) > 50 THEN 1 ELSE 0 END AS INTEGER) AS n_big FROM events ORDER BY event_id""",
+    "q_string2" ->
+      """SELECT c_custkey, lpad(c_mktsegment, 12, '.') AS padded, regexp_replace(c_name, '[0-9]', '#', 'g') AS masked, reverse(c_mktsegment) AS rev, repeat(substr(c_name, 1, 2), 3) AS rep FROM customer ORDER BY c_custkey""",
+    "q_count_if" ->
+      """SELECT l_returnflag, CAST(count(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT) AS n_bulk, round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS disc_price, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_gapfill" ->
       """WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS cnt FROM events GROUP BY 1), spine AS (SELECT unnest(generate_series((SELECT min(hour) FROM hourly), (SELECT max(hour) FROM hourly), INTERVAL 1 HOUR)) AS hour) SELECT s.hour, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt FROM spine s LEFT JOIN hourly h ON s.hour = h.hour ORDER BY s.hour""",
     "q_null_fns" ->

@@ -133,7 +133,19 @@ object Similarity {
       .agg(round(sum(col("x").cast("double")), 4).as("sum_x"), count(lit(1)).as("cnt"))
       .orderBy("pos")
 
+  /** Array transforms: slice / sort / reverse over the embedding prefix
+    * (float values pass through exactly — no arithmetic). */
+  val arrayFns2: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
+        reverse(slice(col("embedding"), 1, 4)).as("head4_rev"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
     "q_array_fns" -> arrayFns,
     "q_cosine_topk" -> cosineTopk,
@@ -146,6 +158,8 @@ object Similarity {
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_array_fns2" ->
+      """SELECT vec_id, list_slice(embedding, 1, 4) AS head4, list_sort(list_slice(embedding, 1, 4)) AS head4_sorted, list_reverse(list_slice(embedding, 1, 4)) AS head4_rev FROM embeddings ORDER BY vec_id""",
     "q_dim_stats" ->
       """SELECT CAST(i - 1 AS INTEGER) AS pos, round(sum(CAST(x AS DOUBLE)), 4) AS sum_x, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) t GROUP BY i ORDER BY pos""",
     "q_ann_lsh" ->
