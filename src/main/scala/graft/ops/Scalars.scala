@@ -170,7 +170,24 @@ object Scalars {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** Histogram: fixed-width value bucketing + counts. */
+  val histogram: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Ordered string aggregation (sorted collect → join). */
+  val stringAgg: Q = (s, d) =>
+    Tables(s, d, "nation")
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("n_regionkey")
+
   val queries: Map[String, Q] = Map(
+    "q_histogram" -> histogram,
+    "q_string_agg" -> stringAgg,
     "q_map_fns" -> mapFns,
     "q_string2" -> string2,
     "q_count_if" -> countIf,
@@ -188,6 +205,10 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0 WHEN o_totalprice >= 500000.0 THEN 11 ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_map_fns" ->
       """SELECT event_id, 2 * CAST(json_extract_string(props, 'k') AS BIGINT) AS k2, CAST(CASE WHEN CAST(json_extract_string(props, 'k') AS BIGINT) > 50 THEN 1 ELSE 0 END AS INTEGER) AS n_big FROM events ORDER BY event_id""",
     "q_string2" ->
