@@ -172,6 +172,30 @@ object Relational {
     p.except(li).orderBy("p_partkey")
   }
 
+  /** Cross join (the one legitimate use: tiny × tiny dimension grids). */
+  val crossJoinGrid: Q = (s, d) => {
+    val r = Tables(s, d, "region").select(col("r_name"))
+    val n = Tables(s, d, "nation").select(col("n_name"))
+    r.crossJoin(n).orderBy("r_name", "n_name")
+  }
+
+  /** HAVING: post-aggregation filter (groupBy → agg → filter). */
+  val having: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .filter(col("cnt") >= 15)
+      .orderBy("o_custkey")
+
+  /** Interval arithmetic: shifted event-time columns. */
+  val interval: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+        (col("o_orderdate") - expr("INTERVAL 1 HOUR")).as("cutoff"))
+      .orderBy("o_orderkey")
+
   /** EXCEPT ALL — multiset difference (duplicates preserved minus
     * matched occurrences). */
   val exceptAll: Q = (s, d) => {
@@ -219,6 +243,9 @@ object Relational {
     "q_except" -> except,
     "q_except_all" -> exceptAll,
     "q_topk" -> topk,
+    "q_cross_join" -> crossJoinGrid,
+    "q_having" -> having,
+    "q_interval" -> interval,
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,5 +285,11 @@ object Relational {
       """SELECT o_custkey AS custkey FROM orders EXCEPT ALL SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0 ORDER BY custkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+    "q_having" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
+    "q_interval" ->
+      """SELECT o_orderkey, CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date, CAST(o_orderdate - INTERVAL 1 HOUR AS TIMESTAMP) AS cutoff FROM orders ORDER BY o_orderkey""",
   )
 }
