@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
+
 object Bench {
+  /** The driver keeps only the final 2000 characters of stdout, and sbt
+    * appends a ~75-char "[success] ..." line after us — so the single JSON
+    * result line must fit ~1900 chars or the whole round's bench goes
+    * unparsed (this is exactly what happened in rounds 2 and 3). Budget with
+    * margin; if the per-query map would overflow it, drop the fastest
+    * entries (least informative) and say how many were omitted. */
+  private val MaxLineLen = 1750
+
+  /** One environmental stall must not eat the round's wall-clock budget
+    * (round 3: a 2-second query measured 635 s under driver-box contention).
+    * Cap each query; on timeout cancel its jobs and record the cap. */
+  private val QueryCapSec = 60L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,20 +29,55 @@ object Bench {
     // startup; deterministic (sorted) query order for run-to-run comparability.
     try { spark.range(0, 1000000).selectExpr("sum(id)").collect() }
     catch { case _: Throwable => () }
+    val pool = Executors.newCachedThreadPool { (r: Runnable) =>
+      val t = new Thread(r); t.setDaemon(true); t
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val fut = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          // Job-group must be set on the thread that RUNS the query (Spark
+          // job groups are thread-local) or cancelJobGroup finds nothing and
+          // a timed-out query keeps running, stealing CPU from every query
+          // after it.
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).count()
+        }
+      })
       // A failed query reports -1.0, not its elapsed time — a broken query
       // must never read as a fast one in the emitted JSON.
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val sec = try { fut.get(QueryCapSec, TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          fut.cancel(true)
+          System.err.println(s"[bench] $name exceeded ${QueryCapSec}s - cancelled")
+          QueryCapSec.toDouble
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // Release any persisted blocks a query left behind (e.g. the
+      // localCheckpoint lineage truncation in connected components):
+      // accumulated blocks shrink execution memory for every later query.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> sec
+    }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    def line(qs: Seq[(String, Double)], omitted: Int): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      val total = fmt(results.map(_._2).filter(_ > 0).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"sf":"$sfDir"}"""
+    }
+    // Keep the slowest queries when trimming: they carry the signal.
+    var kept = results
+    var out = line(kept, results.size - kept.size)
+    while (out.length > MaxLineLen && kept.nonEmpty) {
+      val dropKey = kept.minBy(_._2.abs)._1
+      kept = kept.filterNot(_._1 == dropKey)
+      out = line(kept, results.size - kept.size)
+    }
+    println(out)
     spark.stop()
   }
 }

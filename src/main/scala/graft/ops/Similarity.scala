@@ -134,15 +134,22 @@ object Similarity {
       .orderBy("pos")
 
   /** Array transforms: slice / sort / reverse over the embedding prefix
-    * (float values pass through exactly — no arithmetic). */
-  val arrayFns2: Q = (s, d) =>
+    * (float values pass through exactly — no arithmetic). Output columns are
+    * scalars extracted from the transformed arrays: the driver's oracle
+    * compare sorts rows with pandas, which cannot hash raw array cells, so an
+    * array-typed output column crashes the check (rounds 2-3: q_array_fns2
+    * was the one red row for exactly this reason). */
+  val arrayFns2: Q = (s, d) => {
+    val head4 = slice(col("embedding"), 1, 4)
     Tables(s, d, "embeddings")
       .select(
         col("vec_id"),
-        slice(col("embedding"), 1, 4).as("head4"),
-        sort_array(slice(col("embedding"), 1, 4)).as("head4_sorted"),
-        reverse(slice(col("embedding"), 1, 4)).as("head4_rev"))
+        element_at(head4, 1).cast("double").as("head_first"),
+        element_at(sort_array(head4), 1).cast("double").as("head_min"),
+        element_at(sort_array(head4, asc = false), 1).cast("double").as("head_max"),
+        element_at(reverse(head4), 1).cast("double").as("head_last"))
       .orderBy("vec_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_array_fns2" -> arrayFns2,
@@ -159,7 +166,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_array_fns2" ->
-      """SELECT vec_id, list_slice(embedding, 1, 4) AS head4, list_sort(list_slice(embedding, 1, 4)) AS head4_sorted, list_reverse(list_slice(embedding, 1, 4)) AS head4_rev FROM embeddings ORDER BY vec_id""",
+      """SELECT vec_id, CAST(list_slice(embedding, 1, 4)[1] AS DOUBLE) AS head_first, CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_min, CAST(list_reverse(list_sort(list_slice(embedding, 1, 4)))[1] AS DOUBLE) AS head_max, CAST(list_reverse(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_last FROM embeddings ORDER BY vec_id""",
     "q_dim_stats" ->
       """SELECT CAST(i - 1 AS INTEGER) AS pos, round(sum(CAST(x AS DOUBLE)), 4) AS sum_x, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) t GROUP BY i ORDER BY pos""",
     "q_ann_lsh" ->
