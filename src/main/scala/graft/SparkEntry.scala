@@ -30,7 +30,8 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.Multimodal.queries ++
       ops.Custom.queries ++
-      ops.AsOf.queries
+      ops.AsOf.queries ++
+      ops.Extended.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible / non-dialect-stable ops
@@ -44,5 +45,6 @@ object SparkEntry {
       ops.Similarity.oracle ++
       ops.Multimodal.oracle ++
       ops.Custom.oracle ++
-      ops.AsOf.oracle
+      ops.AsOf.oracle ++
+      ops.Extended.oracle
 }

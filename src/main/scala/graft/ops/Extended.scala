@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 relational/SQL breadth (▲ SURVEY.md §2.2): unpivot, range join,
+  * correlated EXISTS, GROUPING SETS, RANGE window frames, min_by/max_by,
+  * bitwise ops, regex extraction, try_* arithmetic, struct pack/extract.
+  * Everything is declarative + codegen'd; per-query scale notes inline.
+  */
+object Extended {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Wide→long unpivot (melt) of per-flag aggregates. At scale unpivot is a
+    * zero-shuffle Expand node: each input row fans out to one row per
+    * measure in the same task. */
+  val unpivot: Q = (s, d) => {
+    val base = Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    base.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "val")
+      .orderBy("l_returnflag", "measure")
+  }
+
+  /** Equi + range join: lineitems shipped within 60 days of their order's
+    * date. The equi key (orderkey) drives the shuffle/broadcast exactly as a
+    * plain hash join; the range predicate evaluates post-match — this is the
+    * scalable shape of a range join (a PURE range join degenerates to
+    * nested-loop and must instead be binned into an equi key on the range
+    * bucket). */
+  val rangeJoin: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    li.join(ord, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") >= col("o_orderdate")
+        && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Correlated EXISTS subquery (SQL surface; Catalyst rewrites it to the
+    * same left-semi hash join q_join_semi declares directly). */
+  val existsSubquery: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+    Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+    s.sql("""
+      SELECT c_custkey, c_name FROM v_customer c
+      WHERE EXISTS (SELECT 1 FROM v_orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      ORDER BY c_custkey""")
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): one Expand + one shuffle
+    * regardless of how many sets are requested. */
+  val groupingSets: Q = (s, d) => {
+    Tables(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM v_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  /** RANGE window frame (value-based, not row-based): orders within 50k
+    * below each order's price, per customer. RANGE frames include ORDER-BY
+    * peers, so the count is deterministic under price ties. */
+  val windowRange: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+    s.sql("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_below
+      FROM v_orders
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
+  /** min_by / max_by: the argmin/argmax aggregates (single pass, no
+    * self-join-on-the-max anti-pattern). Ordering value o_orderkey is unique
+    * per group → fully deterministic. */
+  val minmaxBy: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_orderstatus")
+
+  /** Bitwise ops over join keys (mask / xor / shift / popcount). */
+  val bitOps: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("lo8"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_key"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        bit_count(col("o_orderkey")).as("pop"))
+      .orderBy("o_orderkey")
+
+  /** Regex extraction / matching / counting over text. Patterns are anchored
+    * to always match (regexp_extract's no-match result is engine-specific). */
+  val regex: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        col("text").rlike("join").as("has_join"),
+        regexp_count(col("text"), lit("\\ba\\w*")).as("a_words"))
+      .orderBy("doc_id")
+
+  /** try_* arithmetic: NULL instead of error/inf on division by zero —
+    * ANSI-safe pipelines without per-row guards. */
+  val tryArith: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+        try_divide(col("l_quantity"), col("l_orderkey") % 3).as("qty_mod"))
+      .orderBy("l_orderkey", "l_linenumber", "price_per_disc", "qty_mod")
+
+  /** Struct pack + field extraction (nested-type round trip; output is
+    * scalar fields — the compare harness cannot sort struct cells). */
+  val structFns: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"), col("o_totalprice").as("price")).as("info"))
+      .select(
+        col("o_orderkey"),
+        col("info.st").as("st"),
+        (col("info.price") * 2.0).as("dbl_price"))
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, Q] = Map(
+    "q_unpivot" -> unpivot,
+    "q_rangejoin" -> rangeJoin,
+    "q_exists" -> existsSubquery,
+    "q_gsets" -> groupingSets,
+    "q_wrange" -> windowRange,
+    "q_minmaxby" -> minmaxBy,
+    "q_bitops" -> bitOps,
+    "q_regex" -> regex,
+    "q_tryarith" -> tryArith,
+    "q_structs" -> structFns,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH b AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY 1) SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM b UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM b ORDER BY l_returnflag, measure""",
+    "q_rangejoin" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_exists" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0) ORDER BY c_custkey""",
+    "q_gsets" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_wrange" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 50000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_below FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_minmaxby" ->
+      """SELECT o_orderstatus, arg_max(o_custkey, o_orderkey) AS last_cust, arg_min(o_custkey, o_orderkey) AS first_cust, max(o_orderkey) AS max_key FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_bitops" ->
+      """SELECT o_orderkey, o_orderkey & 255 AS lo8, xor(o_orderkey, o_custkey) AS xor_key, o_orderkey << 2 AS shl2, CAST(bit_count(o_orderkey) AS INTEGER) AS pop FROM orders ORDER BY o_orderkey""",
+    "q_regex" ->
+      """SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word, regexp_matches(text, 'join') AS has_join, CAST(len(regexp_extract_all(text, '\ba\w*')) AS INTEGER) AS a_words FROM documents ORDER BY doc_id""",
+    "q_tryarith" ->
+      """SELECT l_orderkey, l_linenumber, CASE WHEN l_discount = 0.0 THEN NULL ELSE l_extendedprice / l_discount END AS price_per_disc, CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_quantity / (l_orderkey % 3) END AS qty_mod FROM lineitem ORDER BY l_orderkey, l_linenumber, price_per_disc NULLS FIRST, qty_mod NULLS FIRST""",
+    "q_structs" ->
+      """WITH t AS (SELECT o_orderkey, struct_pack(st := o_orderstatus, price := o_totalprice) AS info FROM orders) SELECT o_orderkey, info.st AS st, info.price * 2.0 AS dbl_price FROM t ORDER BY o_orderkey""",
+  )
+}

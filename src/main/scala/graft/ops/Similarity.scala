@@ -151,7 +151,52 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** IVF-style ANN core: assign every vector to its nearest "trained"
+    * centroid (inverted-file cells), then score only the cells nearest the
+    * query. One broadcast (centroids are tiny by construction), one map-side
+    * combined groupBy for assignment, one broadcast semi-filter for the
+    * probe — never a full scan at probe time. At 100 TB the assignment step
+    * runs once at ingest and `cell` becomes a partition/cluster column, so a
+    * probe is partition pruning: it reads nProbe/nCentroids of the data. */
+  def ivfSearch(emb: DataFrame, cent: DataFrame, q: DataFrame,
+                nProbe: Int, k: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        graft.functions.Functions.cosineSim(col("embedding"), col("cemb")).as("cs"))
+    // argmax via max_by on (score, cent_id): deterministic under ties.
+    val assign = scored.groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cent_id"), struct(col("cs"), col("cent_id"))).as("cell"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cent_id").as("cell"),
+        graft.functions.Functions.cosineSim(col("cemb"), col("qemb")).as("cs"))
+      .orderBy(col("cs").desc, col("cell")).limit(nProbe)
+      .select("cell")
+    assign.join(broadcast(probes), "cell")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.Functions.cosineSim(col("embedding"), col("qemb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF ANN top-10 against the vec_id=0 query vector. The 16 lowest-id
+    * vectors stand in for k-means-trained centroids (deterministic — the
+    * inverted-file plumbing, not the training loop, is what's exercised).
+    * Approximate → rows-only check; recall on planted neighbors asserted in
+    * SimilaritySpec. */
+  val ivfAnn: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val cent = Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    ivfSearch(emb, cent, queryVector(s, d), nProbe = 2, k = 10)
+      .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ivf_ann" -> ivfAnn,
     "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
     "q_array_fns" -> arrayFns,

@@ -119,7 +119,24 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(20)
 
+  /** Quality scoring batch 2: punctuation ratio, uppercase ratio, mean word
+    * length — the length/punct side of the classic pretraining quality
+    * filters (ASCII character classes so Spark's Java regex and the oracle's
+    * RE2 agree exactly). Pure per-row arithmetic → bit-exact vs the oracle. */
+  val punctQuality: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        (length(regexp_replace(col("text"), "[^!-/:-@\\[-`{-~]", "")).cast("double")
+          / length(col("text"))).as("punct_ratio"),
+        (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
+          / length(col("text"))).as("upper_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(tokens(col("text")))).as("mean_word_len"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q_punct" -> punctQuality,
     "q_wordcount" -> wordcount,
     "q_dedup_exact" -> dedupExact,
     "q_text_stats" -> textStats,
@@ -131,6 +148,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_punct" ->
+      """SELECT doc_id, CAST(length(regexp_replace(text, '[^!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio, CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS mean_word_len FROM documents ORDER BY doc_id""",
     "q_wordcount" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
     "q_dedup_exact" ->

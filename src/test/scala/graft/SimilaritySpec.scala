@@ -68,4 +68,23 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(top5 == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("IVF search recalls planted neighbors when their cell is probed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    // Planted neighbors: tiny perturbations of the query vector.
+    val planted = (1L to 5L).map(i => (i, q.map(x => x + math.signum(x) * 0.01f * i)))
+    val noise = (100L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = (planted ++ noise).toDF("vec_id", "embedding")
+    // Centroids: the query itself + 7 noise vectors — the query's cell is
+    // guaranteed probed first, so all planted neighbors must be recalled.
+    val cent = ((0L, q) +: noise.take(7))
+      .toDF("cent_id", "cemb")
+    val qdf = Seq(Tuple1(q)).toDF("qemb")
+    val top5 = Similarity.ivfSearch(emb, cent, qdf, nProbe = 2, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top5 == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
