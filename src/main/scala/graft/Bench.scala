@@ -9,7 +9,7 @@ object Bench {
     * unparsed (this is exactly what happened in rounds 2 and 3). Budget with
     * margin; if the per-query map would overflow it, drop the fastest
     * entries (least informative) and say how many were omitted. */
-  private val MaxLineLen = 1850
+  private val MaxLineLen = 1900
 
   /** One environmental stall must not eat the round's wall-clock budget
     * (round 3: a 2-second query measured 635 s under driver-box contention).
@@ -62,7 +62,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> sec
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Centisecond precision with trailing zeros stripped ("0.20"→"0.2",
+    // "3.00"→"3") — every byte counts against the 2000-char tail window.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+        case "" => "0"
+        case t => t
+      }
     def line(qs: Seq[(String, Double)], omitted: Int): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""

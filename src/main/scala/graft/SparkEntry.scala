@@ -31,7 +31,8 @@ object SparkEntry {
       ops.Multimodal.queries ++
       ops.Custom.queries ++
       ops.AsOf.queries ++
-      ops.Extended.queries
+      ops.Extended.queries ++
+      ops.Tpch.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted for non-SQL-expressible / non-dialect-stable ops
@@ -46,5 +47,6 @@ object SparkEntry {
       ops.Multimodal.oracle ++
       ops.Custom.oracle ++
       ops.AsOf.oracle ++
-      ops.Extended.oracle
+      ops.Extended.oracle ++
+      ops.Tpch.oracle
 }

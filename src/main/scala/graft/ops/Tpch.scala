@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Classic TPC-H-shaped analytics over the driver's star schema — the
+  * multiway-join workloads a user of the reference's capability surface
+  * would actually run at 100 TB. (The fixture schema has no partsupp and
+  * uses o_orderpriority instead of o_shippriority; queries are adapted.)
+  *
+  * Scale shapes: dims (region/nation/customer-filtered) broadcast; the one
+  * unavoidable shuffle is fact⋈fact on orderkey; every revenue sort orders
+  * by the ROUNDED measure plus a unique tiebreak key so top-k is
+  * deterministic in both engines.
+  */
+object Tpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String) = lit(s + " 00:00:00").cast("timestamp")
+
+  /** Q3 shape — shipping-priority revenue: unshipped-as-of-date orders of
+    * one market segment, top-10 by revenue. */
+  val tpch3: Q = (s, d) => {
+    val cust = Tables(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables(s, d, "orders")
+      .filter(col("o_orderdate") < ts("1998-06-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") > ts("1998-06-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** Q5 shape — local-supplier volume per nation in one region and year
+    * (customer and supplier in the same nation). */
+  val tpch5: Q = (s, d) => {
+    val region = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(s, d, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = Tables(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q10 shape — returned-item reporting: top-20 customers by lost revenue
+    * in one quarter. */
+  val tpch10: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables(s, d, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Tables(s, d, "nation").select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+  }
+
+  /** Salt-replicated skew join: the fact side salts its join key; the dim
+    * side replicates each row across all S salts (explode of a literal
+    * array — no shuffle, S× the small side only). One hot orderkey then
+    * spreads over S reducers instead of melting one. Result is identical to
+    * the plain join — the oracle IS the plain join. AQE's runtime skew
+    * splitting covers moderate skew; explicit salting is the insurance for
+    * keys hot enough to overwhelm a single task even after splitting. */
+  val saltedJoin: Q = (s, d) => {
+    val S = 8
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("salt", pmod(hash(col("l_linenumber"), col("l_partkey")), lit(S)))
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .withColumn("salt", explode(array((0 until S).map(lit): _*)))
+    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** One-pass column profile (the data-quality screening scan every
+    * pipeline runs before training ingestion): row count, per-column
+    * min/max/rounded-sum, null count, exact distinct. */
+  val profile: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        sum(col("l_discount").isNull.cast("long")).as("null_disc"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+
+  val queries: Map[String, Q] = Map(
+    "q_tpch3" -> tpch3,
+    "q_tpch5" -> tpch5,
+    "q_tpch10" -> tpch10,
+    "q_salted_join" -> saltedJoin,
+    "q_profile" -> profile,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tpch3" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY n_name""",
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, c_acctbal, n_name FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_extendedprice), 2) AS sum_price, CAST(coalesce(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_disc, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags FROM lineitem""",
+  )
+}

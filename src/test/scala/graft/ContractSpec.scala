@@ -13,7 +13,8 @@ class ContractSpec extends AnyFunSuite {
       ops.Scalars.queries.size, ops.TextOps.queries.size,
       ops.Dedup.queries.size, ops.Similarity.queries.size,
       ops.Multimodal.queries.size, ops.Custom.queries.size,
-      ops.AsOf.queries.size, ops.Extended.queries.size).sum
+      ops.AsOf.queries.size, ops.Extended.queries.size,
+      ops.Tpch.queries.size).sum
     assert(SparkEntry.queries.size == moduleSizes,
       "a query name is registered by more than one module")
   }
