@@ -32,6 +32,20 @@ object Dedup {
       .otherwise(array(text))
   }
 
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
+    * Exists so hash-dependent pipelines can have a DuckDB oracle
+    * (`('0x' || substr(md5(x), 1, 15))::BIGINT` computes the identical
+    * value); production signature paths use xxhash64 (cheaper — no hex
+    * round-trip). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment mirroring [[shingles]] in DuckDB (word 3-grams, whole-text
+    * fallback for tiny docs). */
+  val ShinglesSql: String =
+    "CASE WHEN len(toks) >= 3 THEN list_transform(range(0, len(toks) - 2), " +
+      "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) ELSE [text] END"
+
   /** doc_id → 64 minhashes. The shingle string is hashed ONCE; the 64
     * per-permutation values rehash that fixed-width long with the
     * permutation index (`xxhash64(h, k)`) — at 100 TB this is the
@@ -123,6 +137,35 @@ object Dedup {
   val simhash: Q = (s, d) =>
     simhashSignatures(Tables(s, d, "documents")).orderBy("doc_id")
 
+  /** Oracle-checked minhash witness: 16 permutations from the PORTABLE hash
+    * (affine rehash in sub-overflow modular arithmetic — ANSI-safe: h is
+    * folded to 30 bits so a_k*h30+b_k < 2^37). Validates the minhash math
+    * end-to-end against DuckDB; the production signature path
+    * ([[minhashSignatures]]) keeps the cheaper xxhash64 family. */
+  val MinhashSigPerms = 16
+  private val P = 2147483647L // 2^31 - 1
+  private def perm(k: Int, h30: Column): Column =
+    pmod(h30 * lit(2L * k + 3) + lit(7919L * k + 1), lit(P))
+
+  val minhashSig: Q = (s, d) => {
+    val exploded = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), (portableHash(col("sh")) % lit(1073741824L)).as("h30"))
+    val mins = (0 until MinhashSigPerms).map(k => min(perm(k, col("h30"))).as(s"h$k"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
+  }
+
+  private val MinhashSigOracle: String = {
+    val mins = (0 until MinhashSigPerms)
+      .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents),
+        |sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM t),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h30 FROM sh)
+        |SELECT doc_id, $mins FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      .replaceAll("\n", " ")
+  }
+
   /** Blocked exact n-gram (token-set) Jaccard: blocking on (lang, length
     * bucket) bounds the quadratic term to within-block pairs — the exact
     * verifier companion to the MinHash candidate generator. */
@@ -189,6 +232,7 @@ object Dedup {
     "q_minhash_pairs" -> minhashPairs,
     "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
+    "q_minhash_sig" -> minhashSig,
     "q_ngram_jaccard" -> ngramJaccard,
   )
 
@@ -196,6 +240,7 @@ object Dedup {
     * DuckDB oracle (rows-only check); q_ngram_jaccard is exact set algebra
     * and oracle-checked. */
   val oracle: Map[String, String] = Map(
+    "q_minhash_sig" -> MinhashSigOracle,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lenb, list_distinct(str_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard FROM t a JOIN t b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8 ORDER BY doc_a, doc_b""",
   )

@@ -73,11 +73,13 @@ object TextOps {
     * a join on (fp) finds copied passages across a 100 TB corpus with a
     * shuffle proportional to the sampled fingerprint count (~1/8 of
     * shingles), not the text. (Schleimer et al., "Winnowing: Local
-    * Algorithms for Document Fingerprinting" — the mod-p sampling variant.) */
+    * Algorithms for Document Fingerprinting" — the mod-p sampling variant.)
+    * Hashes with [[Dedup.portableHash]] so the whole pipeline is
+    * DuckDB-oracle-checked. */
   val winnowFingerprints: Q = (s, d) =>
     Tables(s, d, "documents")
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), Dedup.portableHash(col("sh")).as("h"))
       .filter(pmod(col("h"), lit(8)) === 0)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fps"),
@@ -148,6 +150,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_winnow_fps" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), sh AS (SELECT doc_id, unnest(${Dedup.ShinglesSql}) AS sh FROM t), h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(h) AS min_fp, max(h) AS max_fp FROM h WHERE h % 8 = 0 GROUP BY doc_id ORDER BY doc_id""",
     "q_punct" ->
       """SELECT doc_id, CAST(length(regexp_replace(text, '[^!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio, CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS mean_word_len FROM documents ORDER BY doc_id""",
     "q_wordcount" ->
