@@ -49,6 +49,32 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregates at both (key,salt) and key levels")
   }
 
+  test("tpch5: every dimension edge broadcasts; no sort-merge at dim sizes") {
+    val p = plan("q_tpch5")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tpch3: segment and date predicates pushed into the scans, fused top-k") {
+    val p = plan("q_tpch3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed to customer scan")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("range join rides the equi key — never a cartesian/nested-loop product") {
+    val p = plan("q_rangejoin")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join"), "expected a hash/merge join on the equi key")
+  }
+
+  test("IVF probe: native cosine expression, no unbroadcast cartesian product") {
+    val p = plan("q_ivf_ann")
+    assert(p.contains("cosine_sim"))
+    assert(!p.contains("CartesianProduct"),
+      "centroid/query sides must broadcast — a cartesian here scans N^2 at scale")
+  }
+
   test("scan-level pruning: projection query never reads unused columns") {
     val p = plan("q_project")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
