@@ -74,7 +74,11 @@ object Bench {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       val total = fmt(results.map(_._2).filter(_ > 0).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"sf":"$sfDir"}"""
+      // Numeric sf when the dir is .../sfX.Y (it always is for the driver);
+      // every byte of this line competes with query entries for the window.
+      val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+        .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"sf":$sf}"""
     }
     // Keep the slowest queries when trimming: they carry the signal.
     var kept = results

@@ -86,14 +86,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over an opaque media stream: fixed-stride offsets into
+    * the binary column (the video-keyframe / audio-chunk access pattern),
+    * one digest per sampled frame. Pure codegen'd byte slicing — no decode,
+    * no UDF — so at 100 TB sampling k frames reads only the media column's
+    * pages and never materializes whole blobs per row beyond the scan. The
+    * text-backed fixture blobs are ASCII, so the DuckDB oracle mirrors byte
+    * offsets with string substr exactly. */
+  val frameSample: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"), octet_length(col("media")).as("blen"), col("media"),
+        explode(sequence(lit(0), lit(7))).as("frame_idx"))
+      .filter(col("frame_idx") * 128 < col("blen"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * 128).as("off"),
+        md5(expr("substring(media, frame_idx * 128 + 1, 64)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
     "q_media_features" -> mediaFeatures,
+    "q_frame_sample" -> frameSample,
     "q_multimodal_join" -> multimodalJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height FROM documents ORDER BY doc_id""",
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, CAST(k * 128 AS INTEGER) AS off, md5(substr(text, CAST(k * 128 + 1 AS INTEGER), 64)) AS frame_md5 FROM (SELECT doc_id, text, unnest(range(0, 8)) AS k FROM documents) t WHERE k * 128 < length(text) ORDER BY doc_id, frame_idx""",
     "q_multimodal_join" ->
       """SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INTEGER) AS dim FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id""",
   )
