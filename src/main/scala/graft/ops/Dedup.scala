@@ -155,6 +155,34 @@ object Dedup {
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
   }
 
+  /** Oracle-checked simhash witness: 16-bit simhash from the PORTABLE hash
+    * (per-token hash → ±1 vote per bit → sign → bit pack), mirrored bit-
+    * for-bit in DuckDB SQL. Validates the simhash math; the production
+    * 64-bit path ([[simhashSignatures]]) keeps xxhash64. */
+  val SimhashSigBits = 16
+  val simhashSig: Q = (s, d) => {
+    val tok = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), portableHash(col("tok")).as("h"))
+    val bitSums = (0 until SimhashSigBits).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k"))
+    val sig = (0 until SimhashSigBits)
+      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  private val SimhashSigOracle: String = {
+    val sig = (0 until SimhashSigBits)
+      .map(k => s"CASE WHEN sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+    s"WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok) " +
+      s"SELECT doc_id, CAST($sig AS BIGINT) AS simhash16 FROM h GROUP BY doc_id ORDER BY doc_id"
+  }
+
   private val MinhashSigOracle: String = {
     val mins = (0 until MinhashSigPerms)
       .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
@@ -233,6 +261,7 @@ object Dedup {
     "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
     "q_minhash_sig" -> minhashSig,
+    "q_simhash_sig" -> simhashSig,
     "q_ngram_jaccard" -> ngramJaccard,
   )
 
@@ -241,6 +270,7 @@ object Dedup {
     * and oracle-checked. */
   val oracle: Map[String, String] = Map(
     "q_minhash_sig" -> MinhashSigOracle,
+    "q_simhash_sig" -> SimhashSigOracle,
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lenb, list_distinct(str_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard FROM t a JOIN t b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8 ORDER BY doc_a, doc_b""",
   )
