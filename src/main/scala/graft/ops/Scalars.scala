@@ -178,6 +178,19 @@ object Scalars {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket")
 
+  /** Calendar part extraction (dow/quarter/doy/end-of-month) — the
+    * time-bucketing vocabulary for partition keys. Spark's dayofweek is
+    * 1=Sunday; the oracle shifts DuckDB's 0=Sunday to match. */
+  val dateParts: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        last_day(col("o_orderdate")).as("eom"))
+      .orderBy("o_orderkey")
+
   /** Ordered string aggregation (sorted collect → join). */
   val stringAgg: Q = (s, d) =>
     Tables(s, d, "nation")
@@ -186,6 +199,7 @@ object Scalars {
       .orderBy("n_regionkey")
 
   val queries: Map[String, Q] = Map(
+    "q_dateparts" -> dateParts,
     "q_histogram" -> histogram,
     "q_string_agg" -> stringAgg,
     "q_map_fns" -> mapFns,
@@ -205,6 +219,8 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dateparts" ->
+      """SELECT o_orderkey, CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, CAST(quarter(o_orderdate) AS INTEGER) AS qtr, CAST(dayofyear(o_orderdate) AS INTEGER) AS doy, last_day(CAST(o_orderdate AS DATE)) AS eom FROM orders ORDER BY o_orderkey""",
     "q_histogram" ->
       """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0 WHEN o_totalprice >= 500000.0 THEN 11 ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1 ORDER BY 1""",
     "q_string_agg" ->
