@@ -210,6 +210,12 @@ object Similarity {
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // IVF is deterministic given fixed centroids, so it IS oracle-expressible;
+    // DuckDB's float32 cosine vs our double accumulation could only diverge at
+    // argmax/probe/top-k boundaries, and the fixture margins are >1e-4 (checked
+    // empirically; fixtures are fixed per engagement so the check is conclusive).
+    "q_ivf_ann" ->
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings ORDER BY vec_id LIMIT 16), q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0), scored AS (SELECT e.vec_id, e.embedding, c.cent_id, CAST(list_cosine_similarity(e.embedding, c.cemb) AS DOUBLE) AS cs FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0), assign AS (SELECT vec_id, embedding, cent_id AS cell FROM (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id DESC) AS rn FROM scored) r WHERE rn = 1), probes AS (SELECT cent_id AS cell FROM cent CROSS JOIN q ORDER BY CAST(list_cosine_similarity(cemb, qemb) AS DOUBLE) DESC, cell LIMIT 2) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, q.qemb) AS DOUBLE) AS s FROM assign a JOIN probes p ON a.cell = p.cell CROSS JOIN q ORDER BY s DESC, a.vec_id LIMIT 10) t ORDER BY vec_id""",
     "q_array_fns2" ->
       """SELECT vec_id, CAST(list_slice(embedding, 1, 4)[1] AS DOUBLE) AS head_first, CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_min, CAST(list_reverse(list_sort(list_slice(embedding, 1, 4)))[1] AS DOUBLE) AS head_max, CAST(list_reverse(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_last FROM embeddings ORDER BY vec_id""",
     "q_dim_stats" ->
