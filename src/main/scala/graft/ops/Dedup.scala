@@ -46,27 +46,30 @@ object Dedup {
     "CASE WHEN len(toks) >= 3 THEN list_transform(range(0, len(toks) - 2), " +
       "i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) ELSE [text] END"
 
-  /** doc_id → 64 minhashes. The shingle string is hashed ONCE; the 64
-    * per-permutation values rehash that fixed-width long with the
-    * permutation index (`xxhash64(h, k)`) — at 100 TB this is the
-    * difference between 64 variable-length string hashes per shingle and
-    * one, and (unlike an affine `a*h+b` family) it can't overflow under
-    * ANSI arithmetic. One explode + one groupBy: the shuffle carries
+  /** doc_id → 64 minhashes. The shingle string is hashed ONCE (portable
+    * md5-prefix hash, folded to 30 bits); the 64 per-permutation values are
+    * affine rehashes `(a_k*h30 + b_k) mod p` in sub-overflow modular
+    * arithmetic (max a_k=129 × 2^30 < 2^38 — ANSI-safe, unlike a full-width
+    * affine family). At 100 TB this is the difference between 64
+    * variable-length string hashes per shingle and one, and because every
+    * step is engine-portable the ENTIRE pipeline (pairs, clusters) is
+    * DuckDB-oracle-checked. One explode + one groupBy: the shuffle carries
     * (doc_id, 64 partial mins) pre-combined map-side, NOT raw shingles. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until NumHashes).map(k =>
-      min(xxhash64(col("h"), lit(k))).as(s"h$k"))
+      .select(col("doc_id"), (portableHash(col("sh")) % lit(1073741824L)).as("h30"))
+    val mins = (0 until NumHashes).map(k => min(perm(k, col("h30"))).as(s"h$k"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** (doc_id, band, sig): band signature = hash of that band's minhash rows. */
+  /** (doc_id, band, sig): band signature = that band's minhash rows joined
+    * into a key string (collision-free by construction; ~40 bytes per band
+    * row — hash it down to a long if shuffle bytes ever dominate). */
   def minhashBands(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val rows = (0 until RowsPerBand).map(j => col(s"h${b * RowsPerBand + j}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("sig"))
+      struct(lit(b).as("band"), concat_ws(",", rows: _*).as("sig"))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -106,8 +109,10 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pipeline: shingle → minhash → band → bucket-join →
-    * exact verify ≥ 0.6. Not oracle-checked (xxhash64 is Spark-specific);
-    * recall/precision asserted in DedupSpec on planted near-dups. */
+    * exact verify ≥ 0.6. Every stage is engine-portable, so the WHOLE
+    * pipeline (LSH candidate decisions included) is DuckDB-oracle-checked;
+    * recall/precision additionally asserted in DedupSpec on planted
+    * near-dups. */
   val minhashPairs: Q = (s, d) => {
     val docs = Tables(s, d, "documents")
     val cands = candidatePairs(minhashBands(minhashSignatures(docs)))
@@ -265,10 +270,59 @@ object Dedup {
     "q_ngram_jaccard" -> ngramJaccard,
   )
 
-  /** q_minhash_pairs / q_simhash hash with Spark-specific xxhash64 → no
-    * DuckDB oracle (rows-only check); q_ngram_jaccard is exact set algebra
-    * and oracle-checked. */
+  /** SQL mirror of the full minhash pipeline up to verified pairs: shingles
+    * → portable hash → 64 affine min-hashes → 16 band keys → bucket
+    * self-join candidates → exact-jaccard verify. Generated, not
+    * hand-written — the permutation constants come from the same Scala
+    * expressions the Spark path uses. */
+  private val VerifiedPairsCte: String = {
+    val permCols = (0 until NumHashes)
+      .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
+      .mkString(", ")
+    val bandRows = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), " +
+      s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM t), " +
+      s"h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h30 FROM sh), " +
+      // MATERIALIZED: DuckDB inlines CTEs by default, so a CTE referenced k
+      // times re-executes k times — the chained label-propagation CTEs would
+      // re-run the whole pairs subtree 2^5 times (measured: 485s → 0.2s at
+      // sf0.01). Same lineage-blowup failure mode as the Spark side, same
+      // fix (materialize once).
+      s"sig AS MATERIALIZED (SELECT doc_id, $permCols FROM h GROUP BY doc_id), " +
+      s"bands AS ($bandRows), " +
+      s"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      s"JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+      s"tok AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents), " +
+      s"verified AS MATERIALIZED (SELECT doc_a, doc_b, jac AS jaccard FROM (SELECT c.doc_a, c.doc_b, " +
+      s"CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jac " +
+      s"FROM cand c JOIN tok ta ON c.doc_a = ta.doc_id JOIN tok tb ON c.doc_b = tb.doc_id) v WHERE jac >= 0.6)"
+  }
+
+  private val MinhashPairsOracle: String =
+    s"WITH $VerifiedPairsCte SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"
+
+  /** The connected-components oracle unrolls [[connectedComponents]]'s five
+    * min-label iterations as five chained CTEs over the verified pairs. */
+  private val DedupClustersOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"l$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (SELECT id, comp FROM l${i - 1} " +
+        s"UNION ALL SELECT e.src AS id, l.comp FROM edges e JOIN l${i - 1} l ON e.dst = l.id) u GROUP BY id)"
+    }.mkString(", ")
+    s"WITH $VerifiedPairsCte, " +
+      s"edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified), " +
+      s"l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges), $iters " +
+      s"SELECT id AS doc_id, comp AS canonical_id FROM l5 ORDER BY doc_id"
+  }
+
+  /** q_simhash hashes with Spark-specific xxhash64 → rows-only; everything
+    * else in this module — including the full LSH pairs and cluster
+    * pipelines — is oracle-checked. */
   val oracle: Map[String, String] = Map(
+    "q_minhash_pairs" -> MinhashPairsOracle,
+    "q_dedup_clusters" -> DedupClustersOracle,
     "q_minhash_sig" -> MinhashSigOracle,
     "q_simhash_sig" -> SimhashSigOracle,
     "q_ngram_jaccard" ->
