@@ -121,22 +121,27 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document + 4×16-bit LSH band keys (near-dups agree
-    * on ≥1 band with high probability at hamming distance ≤ 3). */
+  /** 60-bit SimHash per document + 4×15-bit LSH band keys (near-dups agree
+    * on ≥1 band with high probability at hamming distance ≤ 3). 60 bits
+    * because the per-token hash is the engine-portable md5-prefix hash
+    * ([[portableHash]], 15 hex chars) — which makes the whole signature,
+    * bands included, DuckDB-oracle-checked; the 4-bit narrowing vs a
+    * 64-bit family is immaterial to collision behavior. */
+  val SimhashBits = 60
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(k =>
+      .withColumn("h", portableHash(col("tok")))
+    val bitSums = (0 until SimhashBits).map(k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$k"))
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
+    val sim = (0 until SimhashBits)
       .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+      .reduce(_ + _)
     agg.withColumn("simhash", sim)
       .select(Seq(col("doc_id"), col("simhash")) ++
         (0 until 4).map(i =>
-          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as(s"band$i")): _*)
+          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL)).as(s"band$i")): _*)
   }
 
   val simhash: Q = (s, d) =>
@@ -317,10 +322,23 @@ object Dedup {
       s"SELECT id AS doc_id, comp AS canonical_id FROM l5 ORDER BY doc_id"
   }
 
-  /** q_simhash hashes with Spark-specific xxhash64 → rows-only; everything
-    * else in this module — including the full LSH pairs and cluster
-    * pipelines — is oracle-checked. */
+  private val SimhashOracle: String = {
+    val sig = (0 until SimhashBits)
+      .map(k => s"CASE WHEN sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+    val bands = (0 until 4)
+      .map(i => s"CAST((simhash >> ${i * 15}) & ${0x7FFFL} AS BIGINT) AS band$i")
+      .mkString(", ")
+    s"WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok), " +
+      s"s AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM h GROUP BY doc_id) " +
+      s"SELECT doc_id, simhash, $bands FROM s ORDER BY doc_id"
+  }
+
+  /** Everything in this module — the full LSH pairs and cluster pipelines
+    * included — is oracle-checked via the engine-portable hash. */
   val oracle: Map[String, String] = Map(
+    "q_simhash" -> SimhashOracle,
     "q_minhash_pairs" -> MinhashPairsOracle,
     "q_dedup_clusters" -> DedupClustersOracle,
     "q_minhash_sig" -> MinhashSigOracle,
