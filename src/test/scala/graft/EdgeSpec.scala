@@ -61,4 +61,27 @@ class EdgeSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
+
+  test("portableHash pins the cross-engine value (md5-prefix contract with DuckDB)") {
+    import spark.implicits._
+    // DuckDB: SELECT ('0x' || substr(md5('hello'), 1, 15))::BIGINT
+    //      => 419982666956583591. Every portable-hash oracle (minhash,
+    // simhash, winnowing) depends on this exact agreement — if this test
+    // breaks, every one of those oracles breaks with it.
+    val got = Seq("hello").toDF("s")
+      .select(Dedup.portableHash(col("s")).as("h"))
+      .collect().head.getLong(0)
+    assert(got == 419982666956583591L)
+  }
+
+  test("IVF search over empty vectors / empty centroids yields zero rows") {
+    import spark.implicits._
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cent = Seq((0L, Array(1.0f, 0.0f))).toDF("cent_id", "cemb")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qemb")
+    assert(graft.ops.Similarity.ivfSearch(emptyEmb, cent, q, nProbe = 2, k = 5).count() == 0)
+    val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val emptyCent = Seq.empty[(Long, Array[Float])].toDF("cent_id", "cemb")
+    assert(graft.ops.Similarity.ivfSearch(emb, emptyCent, q, nProbe = 2, k = 5).count() == 0)
+  }
 }
