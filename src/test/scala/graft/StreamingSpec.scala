@@ -55,4 +55,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(updates.toSet == Set(2L))
     } finally query.stop()
   }
+
+  test("foreachBatch sink: micro-batches land keyed by batchId (replay-safe upsert shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    // Keying the sink write by batchId is what makes foreachBatch
+    // exactly-once on retry: a replayed batch OVERWRITES its own slot
+    // instead of appending a duplicate.
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.put(id, batch.count()); ()
+      }
+      .start()
+    try {
+      stream.addData(
+        Ev(1, t("00:10"), 1, "click", 1.0, "{}"),
+        Ev(2, t("00:20"), 1, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      stream.addData(Ev(3, t("00:30"), 2, "buy", 5.0, "{}"))
+      q.processAllAvailable()
+      assert(seen.values.sum == 3, s"expected 3 rows across batches, got $seen")
+      assert(seen.size >= 2, "expected at least two micro-batches")
+    } finally q.stop()
+  }
 }
