@@ -33,10 +33,10 @@ object Dedup {
   }
 
   /** Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
-    * Exists so hash-dependent pipelines can have a DuckDB oracle
-    * (`('0x' || substr(md5(x), 1, 15))::BIGINT` computes the identical
-    * value); production signature paths use xxhash64 (cheaper — no hex
-    * round-trip). */
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` computes the identical value
+    * in DuckDB, which is what lets every hash-dependent pipeline in this
+    * module (minhash, simhash, winnowing, clusters) be oracle-checked
+    * end-to-end. Cross-engine agreement is pinned in EdgeSpec. */
   def portableHash(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
