@@ -137,7 +137,32 @@ object TextOps {
           / size(tokens(col("text")))).as("mean_word_len"))
       .orderBy("doc_id")
 
+  /** Reproducible systematic sampling: a 10% corpus sample selected by hash
+    * range, not `rand()` — the same rows come back on every run, on every
+    * engine, at any parallelism. At 100 TB this is THE way to cut
+    * dev/eval corpora: no shuffle, no state, composes with pushdown. */
+  val sample: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .filter(pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(100L)) < 10)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Hash-based train/val/test split (80/10/10): assignment is a pure
+    * function of the stable document id, so it never changes as the corpus
+    * grows or repartitions — the reproducibility property a training
+    * pipeline needs from its split step. */
+  val trainSplit: Q = (s, d) => {
+    val h = pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(100L))
+    Tables(s, d, "documents")
+      .withColumn("split", when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample" -> sample,
+    "q_split" -> trainSplit,
     "q_punct" -> punctQuality,
     "q_wordcount" -> wordcount,
     "q_dedup_exact" -> dedupExact,
@@ -150,6 +175,10 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10 ORDER BY doc_id""",
+    "q_split" ->
+      """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split, lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (SELECT lang, n_chars, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h FROM documents) t GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_winnow_fps" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), sh AS (SELECT doc_id, unnest(${Dedup.ShinglesSql}) AS sh FROM t), h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(h) AS min_fp, max(h) AS max_fp FROM h WHERE h % 8 = 0 GROUP BY doc_id ORDER BY doc_id""",
     "q_punct" ->
