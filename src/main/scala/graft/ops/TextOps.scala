@@ -137,6 +137,25 @@ object TextOps {
           / size(tokens(col("text")))).as("mean_word_len"))
       .orderBy("doc_id")
 
+  /** Per-document n-gram familiarity score: the average corpus frequency of
+    * a document's word bigrams. Documents full of rare bigrams are the
+    * noisy/outlier candidates a pretraining quality filter flags — the
+    * count-based cousin of an LM perplexity score, kept integer-exact
+    * (sum of counts / count) so it is bit-stable across engines. Two
+    * shuffles at any scale: bigram count, then doc-level aggregate. */
+  val bigramQuality: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val bigrams = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), n = 2).as("bgs"))
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    bigrams.join(freq, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_bigram_freq"))
+      .orderBy("doc_id")
+  }
+
   /** Reproducible systematic sampling: a 10% corpus sample selected by hash
     * range, not `rand()` — the same rows come back on every run, on every
     * engine, at any parallelism. At 100 TB this is THE way to cut
@@ -161,6 +180,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_bigram_q" -> bigramQuality,
     "q_sample" -> sample,
     "q_split" -> trainSplit,
     "q_punct" -> punctQuality,
@@ -175,6 +195,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bigram_q" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), i -> concat_ws(' ', toks[i+1], toks[i+2])) ELSE [text] END) AS bg FROM t), freq AS MATERIALIZED (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_bigram_freq FROM bg JOIN freq USING (bg) GROUP BY doc_id ORDER BY doc_id""",
     "q_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10 ORDER BY doc_id""",
     "q_split" ->
