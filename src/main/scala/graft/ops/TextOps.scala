@@ -141,15 +141,18 @@ object TextOps {
     * a document's word bigrams. Documents full of rare bigrams are the
     * noisy/outlier candidates a pretraining quality filter flags — the
     * count-based cousin of an LM perplexity score, kept integer-exact
-    * (sum of counts / count) so it is bit-stable across engines. Two
-    * shuffles at any scale: bigram count, then doc-level aggregate. */
+    * (sum of counts / count) so it is bit-stable across engines. The corpus
+    * frequency is a window count over the bigram key — ONE shuffle on bg and
+    * no self-join (a freq-table join would recompute the exploded-bigram
+    * subtree for the probe side and shuffle it twice: measured 5.2s vs ~1s
+    * at sf0.1). */
   val bigramQuality: Q = (s, d) => {
-    val docs = Tables(s, d, "documents")
-    val bigrams = docs
+    val bigrams = Tables(s, d, "documents")
       .select(col("doc_id"), Dedup.shingles(col("text"), n = 2).as("bgs"))
       .select(col("doc_id"), explode(col("bgs")).as("bg"))
-    val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
-    bigrams.join(freq, "bg")
+    bigrams
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bg")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_bigram_freq"))
