@@ -135,7 +135,50 @@ object Extended {
         (col("info.price") * 2.0).as("dbl_price"))
       .orderBy("o_orderkey")
 
+  /** first_value / last_value / nth_value over an unbounded frame (the
+    * "anchor row" window family; deterministic because o_orderkey is a
+    * total order per customer). */
+  val windowFirstLast: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Full outer join: both null sides preserved (the reconciliation-report
+    * shape). Same shuffle-or-broadcast physics as inner; only the row
+    * emission differs. */
+  val joinFull: Q = (s, d) => {
+    val rich = Tables(s, d, "customer")
+      .filter(col("c_acctbal") > 7000.0).select("c_custkey", "c_acctbal")
+    val big = Tables(s, d, "orders")
+      .filter(col("o_totalprice") > 350000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    big.join(rich, col("o_custkey") === col("c_custkey"), "full")
+      .select(col("o_orderkey"), col("c_custkey"),
+        col("o_totalprice"), col("c_acctbal"))
+      .orderBy(col("o_orderkey"), col("c_custkey"))
+  }
+
+  /** INTERSECT ALL — multiset intersection (min multiplicity), completing
+    * the set-op family next to union/intersect/except/except-all. */
+  val intersectAll: Q = (s, d) => {
+    val li = Tables(s, d, "lineitem")
+    li.filter(col("l_quantity") > 30.0).select("l_orderkey")
+      .intersectAll(li.filter(col("l_discount") > 0.05).select("l_orderkey"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_fl" -> windowFirstLast,
+    "q_join_full" -> joinFull,
+    "q_intersect_all" -> intersectAll,
     "q_unpivot" -> unpivot,
     "q_rangejoin" -> rangeJoin,
     "q_exists" -> existsSubquery,
@@ -149,6 +192,12 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_fl" ->
+      """SELECT o_custkey, o_orderkey, first_value(o_totalprice) OVER w AS first_price, last_value(o_totalprice) OVER w AS last_price, nth_value(o_totalprice, 2) OVER w AS second_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey""",
+    "q_join_full" ->
+      """SELECT o_orderkey, c_custkey, o_totalprice, c_acctbal FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 350000.0) o FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000.0) c ON o_custkey = c_custkey ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""",
+    "q_intersect_all" ->
+      """SELECT l_orderkey FROM (SELECT l_orderkey FROM lineitem WHERE l_quantity > 30.0 INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05) t ORDER BY l_orderkey""",
     "q_unpivot" ->
       """WITH b AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY 1) SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM b UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM b ORDER BY l_returnflag, measure""",
     "q_rangejoin" ->
