@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite {
       "centroid/query sides must broadcast — a cartesian here scans N^2 at scale")
   }
 
+  test("full outer join shuffles both sides (broadcast cannot produce the unmatched build rows)") {
+    val p = plan("q_join_full")
+    assert(p.contains("FullOuter"), "expected a full-outer join node")
+    assert(!p.contains("BroadcastHashJoin"),
+      "full outer must not broadcast — unmatched build-side rows would be lost per partition")
+  }
+
   test("scan-level pruning: projection query never reads unused columns") {
     val p = plan("q_project")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
