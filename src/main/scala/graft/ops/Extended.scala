@@ -4,8 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-4 relational/SQL breadth (▲ SURVEY.md §2.2): unpivot, range join,
-  * correlated EXISTS, GROUPING SETS, RANGE window frames, min_by/max_by,
+/** Round-4 relational/SQL breadth (▲ SURVEY.md §2.2 capability extensions —
+  * the reference's expression surface is a single hardcoded integer `>=`
+  * and its only operators are scan/filter/hash-join/limit,
+  * `/root/reference/src/executor/mod.rs:250-466`; everything here is
+  * absent there by design and mandated by the north star): unpivot, range
+  * join, correlated EXISTS, GROUPING SETS, RANGE window frames,
+  * min_by/max_by, full outer join, INTERSECT ALL, first/last/nth_value,
   * bitwise ops, regex extraction, try_* arithmetic, struct pack/extract.
   * Everything is declarative + codegen'd; per-query scale notes inline.
   */
@@ -123,6 +128,17 @@ object Extended {
         try_divide(col("l_quantity"), col("l_orderkey") % 3).as("qty_mod"))
       .orderBy("l_orderkey", "l_linenumber", "price_per_disc", "qty_mod")
 
+  /** Array higher-order predicates: exists / forall / filter over the
+    * embedding column — per-row, codegen'd, no UDFs. */
+  val arrayPreds: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        exists(col("embedding"), x => x > 2.0f).as("has_big"),
+        forall(col("embedding"), x => abs(x) < 10.0f).as("all_small"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"))
+      .orderBy("vec_id")
+
   /** Struct pack + field extraction (nested-type round trip; output is
     * scalar fields — the compare harness cannot sort struct cells). */
   val structFns: Q = (s, d) =>
@@ -189,6 +205,7 @@ object Extended {
     "q_regex" -> regex,
     "q_tryarith" -> tryArith,
     "q_structs" -> structFns,
+    "q_array_preds" -> arrayPreds,
   )
 
   val oracle: Map[String, String] = Map(
@@ -218,5 +235,7 @@ object Extended {
       """SELECT l_orderkey, l_linenumber, CASE WHEN l_discount = 0.0 THEN NULL ELSE l_extendedprice / l_discount END AS price_per_disc, CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE l_quantity / (l_orderkey % 3) END AS qty_mod FROM lineitem ORDER BY l_orderkey, l_linenumber, price_per_disc NULLS FIRST, qty_mod NULLS FIRST""",
     "q_structs" ->
       """WITH t AS (SELECT o_orderkey, struct_pack(st := o_orderstatus, price := o_totalprice) AS info FROM orders) SELECT o_orderkey, info.st AS st, info.price * 2.0 AS dbl_price FROM t ORDER BY o_orderkey""",
+    "q_array_preds" ->
+      """SELECT vec_id, len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_big, len(list_filter(embedding, x -> NOT (abs(x) < 10.0))) = 0 AS all_small, CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos FROM embeddings ORDER BY vec_id""",
   )
 }

@@ -6,8 +6,12 @@ import graft.Tables
 
 /** Classic TPC-H-shaped analytics over the driver's star schema — the
   * multiway-join workloads a user of the reference's capability surface
-  * would actually run at 100 TB. (The fixture schema has no partsupp and
-  * uses o_orderpriority instead of o_shippriority; queries are adapted.)
+  * (hash equi-join + filter + limit, `/root/reference/src/executor/
+  * mod.rs:278-381,383-466`) would actually run at 100 TB, generalized from
+  * the reference's single two-table plan (`/root/reference/src/main.rs:
+  * 29-48`) to filtered multiway stars. (The fixture schema has no partsupp
+  * and uses o_orderpriority instead of o_shippriority; queries are
+  * adapted.)
   *
   * Scale shapes: dims (region/nation/customer-filtered) broadcast; the one
   * unavoidable shuffle is fact⋈fact on orderkey; every revenue sort orders
