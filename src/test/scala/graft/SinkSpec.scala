@@ -56,6 +56,34 @@ class SinkSpec extends AnyFunSuite {
       sample.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("text sink/source round-trip (one line per row)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text").toString
+    Seq("the quick fox", "jumps over", "the lazy dog").toDF("value")
+      .write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() == 3)
+    assert(back.select(sum(length(col("value")))).collect().head.getLong(0)
+      == ("the quick fox" + "jumps over" + "the lazy dog").length)
+  }
+
+  test("binaryFile source: the media-ingestion path reads whole files as binary rows") {
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3), "b.bin" -> Array[Byte](9, 8, 7, 6))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes)
+    }
+    // binaryFile is how raw media (images/audio/video) enters a multimodal
+    // pipeline: (path, modificationTime, length, content) — downstream the
+    // content column feeds the Multimodal.decode plumbing.
+    val back = spark.read.format("binaryFile").load(dir.toString)
+    assert(back.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val got = back.collect()
+      .map(r => r.getAs[String]("path").split('/').last -> r.getAs[Array[Byte]]("content").toSeq)
+      .toMap
+    assert(got == payloads.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_part").toString
     sample.withColumn("part", col("id") % 2)
