@@ -147,11 +147,11 @@ object Dedup {
   val simhash: Q = (s, d) =>
     simhashSignatures(Tables(s, d, "documents")).orderBy("doc_id")
 
-  /** Oracle-checked minhash witness: 16 permutations from the PORTABLE hash
-    * (affine rehash in sub-overflow modular arithmetic — ANSI-safe: h is
-    * folded to 30 bits so a_k*h30+b_k < 2^37). Validates the minhash math
-    * end-to-end against DuckDB; the production signature path
-    * ([[minhashSignatures]]) keeps the cheaper xxhash64 family. */
+  /** Oracle-checked minhash witness: the first 16 permutations of the same
+    * portable-hash affine family [[minhashSignatures]] uses (sub-overflow
+    * modular arithmetic — ANSI-safe: h folded to 30 bits so
+    * a_k*h30+b_k < 2^38), emitted as raw signature columns so the DuckDB
+    * compare sees the per-permutation values directly. */
   val MinhashSigPerms = 16
   private val P = 2147483647L // 2^31 - 1
   private def perm(k: Int, h30: Column): Column =
@@ -165,10 +165,10 @@ object Dedup {
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*).orderBy("doc_id")
   }
 
-  /** Oracle-checked simhash witness: 16-bit simhash from the PORTABLE hash
-    * (per-token hash → ±1 vote per bit → sign → bit pack), mirrored bit-
-    * for-bit in DuckDB SQL. Validates the simhash math; the production
-    * 64-bit path ([[simhashSignatures]]) keeps xxhash64. */
+  /** Compact simhash witness: 16-bit signature from the portable hash
+    * (per-token hash → ±1 vote per bit → sign → bit pack), mirrored
+    * bit-for-bit in DuckDB SQL — the narrow companion to the full 60-bit
+    * [[simhashSignatures]] path (also oracle-checked). */
   val SimhashSigBits = 16
   val simhashSig: Q = (s, d) => {
     val tok = Tables(s, d, "documents")

@@ -8,14 +8,16 @@ import graft.Tables
   * `embeddings.embedding: array<float>` (dim=64).
   *
   * Vector math uses codegen'd higher-order functions (`zip_with` +
-  * `aggregate`) in double precision — no UDFs. Two search paths:
+  * `aggregate`) in double precision — no UDFs. Three search paths:
   *   - brute-force top-k (the correctness baseline): one scan, per-row dot
   *     product, TakeOrderedAndProject — O(N·dim), embarrassingly parallel;
-  *   - sign-LSH bucketed top-k (the 100 TB path): vectors are bucketed by the
+  *   - sign-LSH bucketed top-k (a 100 TB path): vectors are bucketed by the
   *     sign pattern of their leading dims; a probe only scores buckets within
   *     hamming distance 1 of the query's bucket. With the bucket as a
   *     partition/cluster column, that's partition pruning — the scan itself
-  *     shrinks ~25× (9/256 buckets probed).
+  *     shrinks ~25× (9/256 buckets probed);
+  *   - IVF inverted-file cells ([[ivfSearch]], the other 100 TB path):
+  *     nearest-centroid assignment at ingest, nProbe-cell pruning at query.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
