@@ -59,6 +59,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("intersectAll == multiset min-multiplicity model on random bags") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.listOf(Gen.choose(0L, 8L))
+      b <- Gen.listOf(Gen.choose(0L, 8L))
+    } yield (a, b)
+    check(Prop.forAllNoShrink(gen) { case (a, b) =>
+      val got = a.toDF("v").intersectAll(b.toDF("v"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val ca = a.groupBy(identity).view.mapValues(_.size)
+      val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+      val want = ca.toSeq.flatMap { case (v, n) =>
+        Seq.fill(math.min(n, cb.getOrElse(v, 0)))(v)
+      }.sorted
+      got == want
+    })
+  }
+
+  test("hash split partitions the corpus: every doc in exactly one split; sample ⊆ corpus") {
+    val d = "/root/testdata/sf0.001"
+    val total = graft.Tables(spark, d, "documents").count()
+    val splitCnt = graft.ops.TextOps.trainSplit(spark, d)
+      .collect().map(_.getAs[Long]("cnt")).sum
+    assert(splitCnt == total, "train/val/test counts must sum to the corpus size")
+    val sampleIds = graft.ops.TextOps.sample(spark, d)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val allIds = graft.Tables(spark, d, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampleIds.subsetOf(allIds) && sampleIds.nonEmpty)
+  }
+
   test("unique-key inner join cardinality == range intersection size") {
     val gen = for {
       a <- Gen.choose(0, 300)
