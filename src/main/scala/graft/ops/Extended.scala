@@ -191,7 +191,41 @@ object Extended {
       .orderBy("l_orderkey")
   }
 
+  /** lead(): next order's price per customer + forward delta (the forward
+    * twin of q_window_lag). */
+  val windowLead: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("delta_next", col("next_price") - col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** collect_set: distinct-collecting aggregation, emitted as a sorted
+    * joined string (deterministic; raw array cells can't be hash-compared). */
+  val collectSet: Q = (s, d) =>
+    Tables(s, d, "customer")
+      .groupBy("c_nationkey")
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("cnt"))
+      .orderBy("c_nationkey")
+
+  /** explode_outer: null-preserving lateral expansion — rows whose array is
+    * empty survive with a NULL element (an inner explode silently drops
+    * them, the classic lost-rows bug in feature pipelines). */
+  val explodeOuter: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), filter(col("embedding"), x => x > 2.0f).as("big"))
+      .select(col("vec_id"), explode_outer(col("big")).as("xf"))
+      .select(col("vec_id"), col("xf").cast("double").as("x"))
+      .orderBy("vec_id", "x")
+
   val queries: Map[String, Q] = Map(
+    "q_window_lead" -> windowLead,
+    "q_collect_set" -> collectSet,
+    "q_explode_outer" -> explodeOuter,
     "q_window_fl" -> windowFirstLast,
     "q_join_full" -> joinFull,
     "q_intersect_all" -> intersectAll,
@@ -209,6 +243,12 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, next_price, next_price - o_totalprice AS delta_next FROM (SELECT o_custkey, o_orderkey, o_totalprice, lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price FROM orders) t ORDER BY o_custkey, o_orderkey""",
+    "q_collect_set" ->
+      """SELECT c_nationkey, array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments, CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_explode_outer" ->
+      """SELECT vec_id, CAST(unnest(CASE WHEN len(big) = 0 THEN [NULL] ELSE big END) AS DOUBLE) AS x FROM (SELECT vec_id, list_filter(embedding, x -> x > 2.0) AS big FROM embeddings) t ORDER BY vec_id, x NULLS FIRST""",
     "q_window_fl" ->
       """SELECT o_custkey, o_orderkey, first_value(o_totalprice) OVER w AS first_price, last_value(o_totalprice) OVER w AS last_price, nth_value(o_totalprice, 2) OVER w AS second_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey""",
     "q_join_full" ->
