@@ -222,7 +222,36 @@ object Extended {
       .select(col("vec_id"), col("xf").cast("double").as("x"))
       .orderBy("vec_id", "x")
 
+  /** Explicit null-ordering controls (desc_nulls_last over an outer join's
+    * null side) — engines disagree on default null placement, so portable
+    * pipelines must say it out loud. */
+  val sortNulls: Q = (s, d) => {
+    val rich = Tables(s, d, "customer")
+      .filter(col("c_acctbal") > 9000.0).select("c_custkey", "c_acctbal")
+    Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc_nulls_last, col("o_orderkey").asc)
+      .limit(1000)
+  }
+
+  /** unionByName with allowMissingColumns: the schema-evolution union — a
+    * new batch with an extra column unions with the old batch by NAME, the
+    * missing column null-filled (positional union would silently misalign). */
+  val unionByName: Q = (s, d) => {
+    val old = Tables(s, d, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+    val neu = Tables(s, d, "orders")
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sort_nulls" -> sortNulls,
+    "q_union_name" -> unionByName,
     "q_window_lead" -> windowLead,
     "q_collect_set" -> collectSet,
     "q_explode_outer" -> explodeOuter,
@@ -243,6 +272,10 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sort_nulls" ->
+      """SELECT o_orderkey, c_acctbal FROM orders LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) c ON o_custkey = c_custkey ORDER BY c_acctbal DESC NULLS LAST, o_orderkey ASC LIMIT 1000""",
+    "q_union_name" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM (SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1) t ORDER BY o_orderkey""",
     "q_window_lead" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, next_price, next_price - o_totalprice AS delta_next FROM (SELECT o_custkey, o_orderkey, o_totalprice, lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price FROM orders) t ORDER BY o_custkey, o_orderkey""",
     "q_collect_set" ->
