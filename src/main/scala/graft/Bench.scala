@@ -77,11 +77,13 @@ object Bench {
         } else first
       name -> best
     }
-    // Centisecond precision with trailing zeros stripped ("0.20"→"0.2",
-    // "3.00"→"3") — every byte counts against the 2000-char tail window.
+    // Decisecond precision for per-query values with trailing zeros
+    // stripped ("0.21"→"0.2", "3.0"→"3") — every byte counts against the
+    // 2000-char tail window, and 0.1s resolution is plenty for queries
+    // whose signal is "sub-second" vs "multi-second".
     def fmt(v: Double): String =
       if (v < 0) "-1"
-      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+      else f"$v%.1f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
         case "" => "0"
         case t => t
       }
