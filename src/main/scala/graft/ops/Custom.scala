@@ -97,10 +97,46 @@ object Custom {
       .orderBy("l_returnflag", "rnk")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch as a typed Aggregator —
+    * the custom mergeable sketch the extension surface is for: the buffer
+    * is the k smallest distinct hash values (O(k) memory per group,
+    * partial-merged map-side like any native agg), and the estimate is
+    * (k-1) · 2^60 / h_(k) (Bar-Yossef et al., "Counting Distinct Elements
+    * in a Data Stream"). Unlike HLL++, the sketch is a deterministic
+    * function of the input under [[Dedup.portableHash]], so it is fully
+    * DuckDB-oracle-checked — a sketch with an exact cross-engine mirror. */
+  final class KmvDistinct(k: Int)
+    extends Aggregator[(String, Long), Seq[Long], Double] {
+    private def keep(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Nil
+    override def reduce(b: Seq[Long], in: (String, Long)): Seq[Long] = keep(b :+ in._2)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = keep(a ++ b)
+    override def finish(r: Seq[Long]): Double =
+      if (r.size < k) r.size.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0 / r.last.toDouble // 2^60
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** KMV distinct parts per return flag (k=64). */
+  val udafKmv: Q = (s, d) => {
+    import s.implicits._
+    Tables(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        Dedup.portableHash(col("l_partkey").cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new KmvDistinct(64).toColumn.name("kmv_distinct"))
+      .toDF("l_returnflag", "kmv_distinct")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_udaf_weighted_mean" -> udafWeightedMean,
     "q_udaf_topk" -> udafTopK,
     "q_udf_vowels" -> udfVowels,
+    "q_kmv_distinct" -> udafKmv,
   )
 
   val oracle: Map[String, String] = Map(
@@ -110,5 +146,7 @@ object Custom {
       """SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wmean_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_udf_vowels" ->
       """SELECT doc_id, CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS vowels FROM documents ORDER BY doc_id""",
+    "q_kmv_distinct" ->
+      """WITH hh AS (SELECT DISTINCT l_returnflag, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM lineitem), r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS nd FROM hh) SELECT l_returnflag, CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS kmv_distinct FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -24,6 +24,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV distinct sketch is within 25% of exact and invariant to partial-merge layout") {
+    val exact = ops.Aggregates.aggDistinct(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def run() = ops.Custom.udafKmv(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val est = run()
+    assert(est.keySet == exact.keySet)
+    for ((flag, ex) <- exact)
+      assert(math.abs(est(flag) - ex) / ex <= 0.25,
+        s"KMV(k=64) estimate ${est(flag)} for $flag deviates >25% from exact $ex")
+    // Partial-merge invariance: the sketch must be a pure function of the
+    // input SET, not of how partitions grouped it.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val est2 = run()
+      assert(est2 == est, "sketch changed under a different partition layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("approx_percentile brackets the exact p50/p95 per group") {
     // approx_percentile(accuracy=1000) returns an actual data value whose
     // rank error is bounded by n/1000 — compare against the exact
