@@ -86,6 +86,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** A resized media record: target-bounded dims + estimated payload. */
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                                rw: Int, rh: Int, est_bytes: Long)
+
+  /** STUB resize — the codec call is faked (no image libs in this
+    * container) but the contract is the real one: fit-within-bound
+    * dimension math (longest edge → `bound`, aspect preserved) and a
+    * payload estimate proportional to the pixel change. Runs in the same
+    * typed mapPartitions slot a JNI/FFI resize would (one codec init per
+    * partition). */
+  def resizeStub(f: MediaFeatures, bound: Int): ResizedMedia = {
+    val (rw, rh) =
+      if (f.width >= f.height) (bound, math.floor(f.height * bound.toDouble / f.width).toInt)
+      else (math.floor(f.width * bound.toDouble / f.height).toInt, bound)
+    val est = math.floor(f.byte_len.toDouble * (rw.toLong * rh) / (f.width.toLong * f.height)).toLong
+    ResizedMedia(f.doc_id, f.width, f.height, rw, rh, est)
+  }
+
+  /** Decode → resize, both per-partition over the typed Dataset. */
+  val mediaResize: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), lit("txt").as("format"))
+      .as[MediaRecord]
+    media.mapPartitions(_.map(r => resizeStub(decode(r), 48))).toDF()
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over an opaque media stream: fixed-stride offsets into
     * the binary column (the video-keyframe / audio-chunk access pattern),
     * one digest per sampled frame. Pure codegen'd byte slicing — no decode,
@@ -108,6 +136,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "q_media_features" -> mediaFeatures,
+    "q_media_resize" -> mediaResize,
     "q_frame_sample" -> frameSample,
     "q_multimodal_join" -> multimodalJoin,
   )
@@ -115,6 +144,8 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height FROM documents ORDER BY doc_id""",
+    "q_media_resize" ->
+      """WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height FROM documents), r AS (SELECT doc_id, width, height, CAST(CASE WHEN width >= height THEN 48 ELSE floor(width * 48.0 / height) END AS INTEGER) AS rw, CAST(CASE WHEN width >= height THEN floor(height * 48.0 / width) ELSE 48 END AS INTEGER) AS rh, byte_len FROM f) SELECT doc_id, width, height, rw, rh, CAST(floor(byte_len * (CAST(rw AS DOUBLE) * rh) / (CAST(width AS DOUBLE) * height)) AS BIGINT) AS est_bytes FROM r ORDER BY doc_id""",
     "q_frame_sample" ->
       """SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, CAST(k * 128 AS INTEGER) AS off, md5(substr(text, CAST(k * 128 + 1 AS INTEGER), 64)) AS frame_md5 FROM (SELECT doc_id, text, unnest(range(0, 8)) AS k FROM documents) t WHERE k * 128 < length(text) ORDER BY doc_id, frame_idx""",
     "q_multimodal_join" ->
