@@ -249,7 +249,75 @@ object Extended {
       .orderBy("o_orderkey")
   }
 
+  /** Correlated LATERAL subquery join — top-2 orders per customer, pushed
+    * through the parser/analyzer as SQL text. Catalyst decorrelates the
+    * per-row ORDER BY + LIMIT into a ranked window over one shuffle on the
+    * correlation key — the same physical plan a hand-written row_number
+    * filter produces, so there is no per-customer re-execution anywhere. */
+  val lateralTopN: Q = (s, d) => {
+    Tables(s, d, "customer").createOrReplaceTempView("customer_v")
+    Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer_v JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** Deterministic MODE (most frequent value per group): count + ranked
+    * window with an explicit value tiebreak — the built-in `mode()` is
+    * free to pick either side of a tie, which would make the oracle
+    * comparison (and any production rerun) nondeterministic. Two shuffles:
+    * the count groupBy and the tiny per-group rank. */
+  val modeAgg: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    Tables(s, d, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Boolean aggregates (bool_and / bool_or) — data-quality assertions as a
+    * single map-side-combined aggregation pass. */
+  val boolAgg: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_discount") <= 0.05).as("all_low_disc"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        bool_and(col("l_quantity") >= 1.0).as("qty_pos"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** Event-time RANGE frame: per event type, how many events landed in the
+    * preceding hour (value-based frame over epoch seconds). One shuffle on
+    * the type key, then a single ordered in-partition sweep — the scalable
+    * sliding-window shape (a self-join on the time predicate would be
+    * quadratic per key). */
+  val timeRangeWindow: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("sec")
+      .rangeBetween(-3600L, org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lateral" -> lateralTopN,
+    "q_mode" -> modeAgg,
+    "q_bool_agg" -> boolAgg,
+    "q_wrange_time" -> timeRangeWindow,
     "q_sort_nulls" -> sortNulls,
     "q_union_name" -> unionByName,
     "q_window_lead" -> windowLead,
@@ -272,6 +340,14 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM customer JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) ON true ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
+    "q_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt, row_number() OVER (PARTITION BY o_orderstatus ORDER BY count(*) DESC, o_orderpriority) AS rk FROM orders GROUP BY o_orderstatus, o_orderpriority) t WHERE rk = 1 ORDER BY o_orderstatus""",
+    "q_bool_agg" ->
+      """SELECT l_returnflag, bool_and(l_discount <= 0.05) AS all_low_disc, bool_or(l_tax > 0.07) AS any_high_tax, bool_and(l_quantity >= 1.0) AS qty_pos, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_wrange_time" ->
+      """SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec, CAST(count(*) OVER (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h FROM events ORDER BY event_id""",
     "q_sort_nulls" ->
       """SELECT o_orderkey, c_acctbal FROM orders LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) c ON o_custkey = c_custkey ORDER BY c_acctbal DESC NULLS LAST, o_orderkey ASC LIMIT 1000""",
     "q_union_name" ->

@@ -197,7 +197,20 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-vector L2 norm + unit-normalization check — the standard embedding
+    * hygiene pass before cosine retrieval (a zero/denormal vector poisons
+    * every similarity it touches). Pure per-row map over one scan; the fold
+    * accumulates left-to-right in double, and the oracle rounds to 4
+    * decimals to absorb the engines' last-bit summation differences. */
+  val embedNorm: Q = (s, d) =>
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        round(norm(toDouble(col("embedding"))), 4).as("l2_norm"),
+        (norm(toDouble(col("embedding"))) >= 0.5).as("usable"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "q_embed_norm" -> embedNorm,
     "q_ivf_ann" -> ivfAnn,
     "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
@@ -212,6 +225,8 @@ object Similarity {
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q_embed_norm" ->
+      """SELECT vec_id, label, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.5 AS usable FROM embeddings ORDER BY vec_id""",
     // IVF is deterministic given fixed centroids, so it IS oracle-expressible;
     // DuckDB's float32 cosine vs our double accumulation could only diverge at
     // argmax/probe/top-k boundaries, and the fixture margins are >1e-4 (checked

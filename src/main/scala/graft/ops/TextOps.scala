@@ -182,7 +182,140 @@ object TextOps {
       .orderBy("split", "lang")
   }
 
+  /** Composite C4/Gopher-style quality gate: word-count bounds, mean word
+    * length bounds, stopword-ratio cap — the rule stack a pretraining
+    * pipeline applies before anything expensive. All thresholds evaluate in
+    * exact integer arithmetic (`10 * stop_cnt <= 3 * n_words` instead of a
+    * float ratio) so the keep/drop decision is bit-stable across engines
+    * and reruns. Pure per-row map over one scan: at 100 TB this runs at
+    * read bandwidth and composes with column pruning. */
+  val qualityFilter: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val nw = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(StopWords: _*)))
+    // Tokens are single-space separated, so total word chars = n_chars -
+    // (n_words - 1) and the mean length is exact rational arithmetic.
+    val meanWlen = (col("n_chars") - (nw - lit(1)).cast("long")).cast("double") / nw
+    Tables(s, d, "documents")
+      .select(col("doc_id"), nw.as("n_words"), stopCnt.as("stop_cnt"),
+        meanWlen.as("mean_wlen"),
+        (nw.between(30, 80) && meanWlen >= 3.0 && meanWlen <= 6.0 &&
+          stopCnt * lit(10) <= nw * lit(3)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition: the share of bigrams taken by the single
+    * most frequent bigram (boilerplate/spam detector — high ratio = the doc
+    * repeats itself). Ties break to the lexicographically smallest bigram
+    * so the witness row is deterministic. Explode + per-doc groupBy + tiny
+    * ranked window: the shuffle key is doc_id, never the corpus. */
+  val repetition: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), n = 2).as("bgs"))
+      .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
+        explode(col("bgs")).as("bg"))
+      .groupBy("doc_id", "n_bigrams", "bg")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt").as("bg_cnt"),
+        (col("cnt").cast("double") / col("n_bigrams")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top-3 terms per document, with a rational idf (`tf * N / df`
+    * on exact integer counts, single double division) instead of a log —
+    * same ranking behavior for ranking purposes, and bit-identical across
+    * engines where `log` is only correctly-rounded-ish. Two shuffles (term
+    * df, doc_id rank); the corpus-size scalar broadcasts. */
+  val tfidf: Q = (s, d) => {
+    val tf = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Concat-and-split sequence packing (GPT-style pretraining batches):
+    * within each language stream, documents are laid out in stable doc_id
+    * order and cut every `budget` tokens; a document's bin is its exclusive
+    * running-token-count DIV budget. The window key is the stratum (lang),
+    * so packing parallelizes across strata; at 100 TB the per-stratum
+    * prefix sum is the classic two-pass pattern (per-partition subtotals,
+    * then offset broadcast) — semantically identical to this window. */
+  val pack: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      // floor(x/512), not an integral-cast: Spark truncates double→long but
+      // DuckDB rounds, so the oracle mirrors an explicit floor on both sides.
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(512)).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Sliding-window chunking for embedding/retrieval ingestion: fixed
+    * 32-token windows with stride 24 (8-token overlap); the trailing chunk
+    * truncates at the document end. Emits a scalar fingerprint per chunk
+    * (not the array) so results stay oracle-comparable. Pure per-row
+    * explode: no shuffle until someone aggregates the chunks. */
+  val chunk: Q = (s, d) => {
+    val W = 32
+    val S = 24
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nch = when(n <= W, lit(1))
+      .otherwise(floor((n - lit(W) + lit(S - 1)) / lit(S)).cast("int") + lit(1))
+    Tables(s, d, "documents")
+      .select(col("doc_id"), toks.as("t"), nch.as("nch"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nch") - 1),
+          i => struct(i.as("chunk_id"),
+            concat_ws(" ", slice(col("t"), i * S + 1, lit(W))).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(split(col("c.chunk"), " ")).as("chunk_tokens"),
+        md5(col("c.chunk")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Stratified reproducible sampling: per-language rates (en 10%, else
+    * 30%) keyed on the engine-portable document hash — the training-mix
+    * rebalancing step, with the same grows-stably / repartitions-stably
+    * guarantee as [[sample]]. */
+  val stratified: Q = (s, d) => {
+    val h = pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(100L))
+    Tables(s, d, "documents")
+      .withColumn("rate", when(col("lang") === "en", lit(10L)).otherwise(lit(30L)))
+      .filter(h < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pack" -> pack,
+    "q_chunk" -> chunk,
+    "q_stratified" -> stratified,
+    "q_quality_filter" -> qualityFilter,
+    "q_repetition" -> repetition,
+    "q_tfidf" -> tfidf,
     "q_bigram_q" -> bigramQuality,
     "q_sample" -> sample,
     "q_split" -> trainSplit,
@@ -198,6 +331,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT lang, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin FROM t) SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents), c AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 ELSE CAST(floor((len(toks) - 32 + 23.0) / 24) AS BIGINT) + 1 END AS nch FROM t), e AS (SELECT doc_id, toks, unnest(range(0, nch)) AS chunk_id FROM c) SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS INTEGER) AS chunk_tokens, md5(array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_fp FROM e ORDER BY doc_id, chunk_id""",
+    "q_stratified" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 30 END GROUP BY lang ORDER BY lang""",
+    "q_quality_filter" ->
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS n_words, CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER) AS stop_cnt, CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) AS mean_wlen, (len(str_split(text, ' ')) BETWEEN 30 AND 80) AND CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) >= 3.0 AND CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) <= 6.0 AND len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 10 <= len(str_split(text, ' ')) * 3 AS keep FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), bg AS (SELECT doc_id, CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 1 END AS INTEGER) AS n_bigrams, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), i -> concat_ws(' ', toks[i+1], toks[i+2])) ELSE [text] END) AS bg FROM t), c AS (SELECT doc_id, n_bigrams, bg, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2, 3), r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk FROM c) SELECT doc_id, bg AS top_bigram, cnt AS bg_cnt, CAST(cnt AS DOUBLE) / n_bigrams AS rep_ratio FROM r WHERE rk = 1 ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents) x GROUP BY 1, 2), dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score FROM tf JOIN dfreq USING (term) CROSS JOIN n) SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, score FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM r) z WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q_bigram_q" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), i -> concat_ws(' ', toks[i+1], toks[i+2])) ELSE [text] END) AS bg FROM t), freq AS MATERIALIZED (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_bigram_freq FROM bg JOIN freq USING (bg) GROUP BY doc_id ORDER BY doc_id""",
     "q_sample" ->

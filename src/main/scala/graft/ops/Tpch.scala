@@ -110,6 +110,52 @@ object Tpch {
       .orderBy("o_orderpriority")
   }
 
+  /** Q17 shape — small-quantity-order revenue: lineitems of one brand's
+    * parts whose quantity is below 20% of that part's average quantity.
+    * The correlated AVG subquery becomes one groupBy on the fact's join key
+    * (a single shuffle, reused by the join back); the brand filter pushes
+    * into the part scan and broadcasts. The `qty < 0.2 * avg` threshold is
+    * evaluated in exact integer arithmetic (`5 * qty * cnt < sum_qty` on
+    * longs — quantities are integral) so the boundary can never flip on
+    * float summation order, in either engine. */
+  val tpch17: Q = (s, d) => {
+    val pa = Tables(s, d, "part")
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    val li = Tables(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val avgq = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .withColumnRenamed("l_partkey", "a_partkey")
+    li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(avgq, col("l_partkey") === col("a_partkey"))
+      .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+        (round(sum(col("l_extendedprice")), 2) / lit(7)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Q18 shape — large-volume orders: orders whose total lineitem quantity
+    * exceeds a threshold, with their customer. The HAVING threshold runs on
+    * exact long sums (quantities are integral); the aggregated order list is
+    * tiny relative to the fact table, so the customer edge broadcasts and
+    * the only real shuffle is the orderkey groupBy. */
+  val tpch18: Q = (s, d) => {
+    val big = Tables(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 250L)
+    val ord = Tables(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables(s, d, "customer").select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** One-pass column profile (the data-quality screening scan every
     * pipeline runs before training ingestion): row count, per-column
     * min/max/rounded-sum, null count, exact distinct. */
@@ -127,6 +173,8 @@ object Tpch {
     "q_tpch3" -> tpch3,
     "q_tpch5" -> tpch5,
     "q_tpch10" -> tpch10,
+    "q_tpch17" -> tpch17,
+    "q_tpch18" -> tpch18,
     "q_salted_join" -> saltedJoin,
     "q_profile" -> profile,
   )
@@ -138,6 +186,10 @@ object Tpch {
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY n_name""",
     "q_tpch10" ->
       """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, c_acctbal, n_name FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch17" ->
+      """SELECT round(sum(l_extendedprice), 2) AS total_price, round(sum(l_extendedprice), 2) / 7 AS avg_yearly, CAST(count(*) AS BIGINT) AS n_small FROM lineitem JOIN part ON l_partkey = p_partkey JOIN (SELECT l_partkey AS a_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY 1) a ON l_partkey = a_partkey WHERE p_brand = 'Brand#4' AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""",
+    "q_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice, sum_qty FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty > 250) b JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_salted_join" ->
       """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_profile" ->

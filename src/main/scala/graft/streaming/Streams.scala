@@ -50,6 +50,18 @@ object Streams {
       .select(col("p_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins the small static
+    * dimension, which Spark re-resolves and broadcasts per batch — no
+    * streaming state at all, unlike a stream-stream join's watermarked
+    * buffers. This is the scalable "enrich events with a dim table" shape:
+    * the stream side never shuffles, and a dim refresh is picked up on the
+    * next batch. Left join + coalesce keeps unmatched events flowing with
+    * an explicit sentinel instead of dropping them. */
+  def enrichWithTier(events: DataFrame, userTiers: DataFrame): DataFrame =
+    events.join(broadcast(userTiers), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        coalesce(col("tier"), lit("unknown")).as("tier"))
+
   /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
     * stateful-operator extension point (KeyValueGroupedDataset state API).
     * A session closes when a later event for the key arrives more than `gap`

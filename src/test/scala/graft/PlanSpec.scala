@@ -88,4 +88,29 @@ class PlanSpec extends AnyFunSuite {
       "l_quantity:double,l_extendedprice:double,l_discount:double>")
       || !p.contains("l_returnflag"), "projection should prune the scan schema")
   }
+
+  test("tpch17: brand filter pushed to the part scan; the part edge broadcasts") {
+    val p = plan("q_tpch17")
+    assert(p.contains("EqualTo(p_brand,Brand#4)"), "brand filter not pushed to part scan")
+    assert(p.contains("BroadcastHashJoin"), "filtered part dim should broadcast")
+  }
+
+  test("tpch18: customer edge broadcasts against the tiny big-orders set") {
+    val p = plan("q_tpch18")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 should fuse, not global sort")
+  }
+
+  test("lateral top-N decorrelates to a ranked window — no per-row re-execution") {
+    val p = plan("q_lateral")
+    assert(p.contains("Window"), "expected the LIMIT-per-key to become a window rank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must join on the correlation key, not enumerate pairs")
+  }
+
+  test("chunking stays a per-row explode — no shuffle in the plan") {
+    val p = plan("q_chunk")
+    assert(!p.replaceAll("(?s)Sort \\[doc_id.*", "").contains("Exchange hashpartitioning"),
+      "chunk generation must not shuffle before the final presentation sort")
+  }
 }
