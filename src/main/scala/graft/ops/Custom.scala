@@ -68,9 +68,22 @@ object Custom {
     private val ord: Ordering[(Double, Long, Int)] =
       Ordering.by(t => (-t._1, t._2, t._3.toLong))
     private def top(s: Seq[(Double, Long, Int)]) = s.sorted(ord).take(k)
+    /** Bounded insertion into an already-sorted buffer. The common input row
+      * loses to the current k-th element and costs ONE comparison with zero
+      * allocation — `(b :+ e).sorted.take(k)` per row (the round-5 shape) was
+      * a full sort + two Seq allocations per input row and measured 5.7x its
+      * window-query twin at high group fan-in. */
+    private def insert(b: Seq[(Double, Long, Int)], e: (Double, Long, Int)) =
+      if (b.size >= k && ord.gteq(e, b.last)) b
+      else {
+        val (lo, hi) = b.span(x => ord.lt(x, e))
+        (lo ++ (e +: hi)).take(k)
+      }
     override def zero: Seq[(Double, Long, Int)] = Nil
     override def reduce(b: Seq[(Double, Long, Int)], in: (String, Double, Long, Int)) =
-      top(b :+ ((in._2, in._3, in._4)))
+      insert(b, (in._2, in._3, in._4))
+    // merge runs once per (partial, partial) pair — not per row — so a full
+    // sort of at most 2k elements is fine here.
     override def merge(a: Seq[(Double, Long, Int)], b: Seq[(Double, Long, Int)]) =
       top(a ++ b)
     override def finish(r: Seq[(Double, Long, Int)]): Seq[(Double, Long, Int)] = r

@@ -313,7 +313,28 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** CSV file source (SURVEY §2.2 "Scans/sources"): the nation table staged
+    * through Spark's CSV writer and read back with an explicit schema —
+    * proves the non-parquet source path end-to-end (header handling, typed
+    * read, round-trip fidelity) and is oracle-checked against the original
+    * parquet. The staging write is deterministic-per-sfDir and idempotent
+    * (overwrite); production CSV ingest is the read half alone. Schema is
+    * explicit because CSV carries none — inference costs an extra pass and
+    * guesses types, both wrong at 100 TB. */
+  val csvScan: Q = (s, d) => {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_csv_nation_" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Tables(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
+    s.read.option("header", "true")
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .csv(stage)
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_csv_scan" -> csvScan,
     "q_lateral" -> lateralTopN,
     "q_mode" -> modeAgg,
     "q_bool_agg" -> boolAgg,
@@ -340,6 +361,8 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_csv_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q_lateral" ->
       """SELECT c_custkey, o_orderkey, o_totalprice FROM customer JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) ON true ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "q_mode" ->

@@ -206,11 +206,66 @@ object Similarity {
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         round(norm(toDouble(col("embedding"))), 4).as("l2_norm"),
-        (norm(toDouble(col("embedding"))) >= 0.5).as("usable"))
+        // Threshold the ROUNDED norm: Spark's ordered fold and DuckDB's
+        // list_sum can differ in the last bit, so a fixture vector with norm
+        // exactly at the 0.5 boundary would otherwise flip the flag in one
+        // engine only (same rounding rationale as l2_norm itself).
+        (round(norm(toDouble(col("embedding"))), 4) >= 0.5).as("usable"))
       .orderBy("vec_id")
+
+  /** One Lloyd iteration of k-means as pure DataFrame ops: assign every
+    * vector to its nearest centroid (broadcast centroids, max_by argmax),
+    * then recompute each cell's centroid as the per-dimension mean
+    * (posexplode → groupBy(cell, pos) avg → re-pack via sorted
+    * collect_list). At 100 TB each iteration is one broadcast + two
+    * map-side-combined shuffles whose size is #cells × dim — the classic
+    * distributed Lloyd shape; more iterations = a driver loop over this
+    * step with `localCheckpoint` per round (the iterative-lineage rule
+    * applied everywhere else in this repo). Cells that end an iteration
+    * empty simply drop out (standard k-means degeneracy; reseeding is a
+    * policy choice left out of the demo). */
+  def kmeansStep(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        graft.functions.Functions.cosineSim(col("embedding"), col("cemb")).as("cs"))
+    val assign = scored.groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cent_id"), struct(col("cs"), col("cent_id"))).as("cell"))
+    assign
+      .select(col("cell"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell")
+      // array_sort on struct(pos, m) orders by pos, so the re-packed array
+      // is positionally faithful; cast back to float — the expression layer
+      // and the stored embeddings are array<float>, and centroid precision
+      // beyond float is noise for an argmax.
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m").cast("float")).as("cemb"))
+      .select(col("cell").as("cent_id"), col("cemb"))
+  }
+
+  /** IVF ANN with one round of k-means training: seed centroids (the same
+    * deterministic 16 as q_ivf_ann) → one Lloyd step → probe the trained
+    * cells. Iterative float argmax makes the trained assignment
+    * SQL-inexpressible in practice → rows-only check; recall vs brute force
+    * on planted neighbors asserted in SimilaritySpec. */
+  val ivfKmeans: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val seed = Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    // The trained set is ≤16 rows but feeds TWO consumers inside ivfSearch
+    // (assignment scoring + probe ranking); localCheckpoint materializes the
+    // Lloyd step once instead of re-running its three shuffles per consumer.
+    val trained = kmeansStep(emb, seed).localCheckpoint()
+    ivfSearch(emb, trained, queryVector(s, d), nProbe = 2, k = 10)
+      .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
+      .orderBy("vec_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_embed_norm" -> embedNorm,
+    "q_ivf_kmeans" -> ivfKmeans,
     "q_ivf_ann" -> ivfAnn,
     "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
@@ -226,7 +281,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q_embed_norm" ->
-      """SELECT vec_id, label, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.5 AS usable FROM embeddings ORDER BY vec_id""",
+      """SELECT vec_id, label, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) >= 0.5 AS usable FROM embeddings ORDER BY vec_id""",
     // IVF is deterministic given fixed centroids, so it IS oracle-expressible;
     // DuckDB's float32 cosine vs our double accumulation could only diverge at
     // argmax/probe/top-k boundaries, and the fixture margins are >1e-4 (checked

@@ -68,6 +68,30 @@ object TextOps {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .orderBy("doc_id")
 
+  /** Incremental (cross-corpus) exact dedup — the shape a production corpus
+    * pipeline runs daily: a new document batch is deduped WITHIN itself
+    * (groupBy fp, keep min id) and then anti-joined against the existing
+    * corpus's canonical fingerprint set, so only genuinely-new content
+    * survives. Here the corpus splits into "existing" / "new batch" by one
+    * bit of the engine-portable document hash (deterministic, so the oracle
+    * expresses the same split). At 100 TB the canonical set is itself huge
+    * — the anti-join SHUFFLES on fp (never broadcast), and since both sides
+    * are already grouped by fp the join rides the same partitioning; with
+    * the canonical table bucketed by fp on disk the daily run shuffles only
+    * the new batch. */
+  val dedupIncremental: Q = (s, d) => {
+    val fps = Tables(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+        pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(2L)).as("b"))
+    val canon = fps.filter(col("b") === 0).select("fp").distinct()
+    fps.filter(col("b") === 1)
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dups"))
+      .join(canon, Seq("fp"), "left_anti")
+      .select("doc_id", "fp", "batch_dups")
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style document fingerprints: rolling word-3-gram hashes,
     * 0-mod-p sampled — two documents sharing content share fingerprints, so
     * a join on (fp) finds copied passages across a 100 TB corpus with a
@@ -235,11 +259,16 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
+    // df as a window count over tf — NOT a tf⋈(tf groupBy term) self-join,
+    // which would plant the whole explode+aggregate subtree on both sides of
+    // the join and (absent runtime exchange reuse) compute it twice. Same
+    // no-self-join rationale as [[bigramQuality]]; one extra shuffle on term
+    // replaces a join that shuffled the same rows anyway.
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))
@@ -322,6 +351,7 @@ object TextOps {
     "q_punct" -> punctQuality,
     "q_wordcount" -> wordcount,
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_text_stats" -> textStats,
     "q_text_quality" -> textQuality,
     "q_lang_stats" -> langStats,
@@ -357,6 +387,8 @@ object TextOps {
       """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_dedup_incremental" ->
+      """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens, n_chars, CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS chars_per_token FROM documents ORDER BY doc_id""",
     "q_text_quality" ->

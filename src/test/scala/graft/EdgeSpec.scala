@@ -74,6 +74,25 @@ class EdgeSpec extends AnyFunSuite {
     assert(got == 419982666956583591L)
   }
 
+  test("portableHash agrees cross-engine on multibyte UTF-8 (non-ASCII pins)") {
+    import spark.implicits._
+    // The md5-prefix contract holds only if both engines hash the SAME
+    // bytes; these pins (computed in DuckDB) would catch any drift in UTF-8
+    // encoding on either side — e.g. a latin-1 cast or UTF-16 code-unit
+    // hashing would change every value here while leaving ASCII untouched.
+    val pinned = Seq(
+      "héllo wörld" -> 1067566609160269281L,
+      "你好世界" -> 455873937493789519L,
+      "naïve café — ☃" -> 628777064927874774L,
+    )
+    val got = pinned.map(_._1).toDF("s")
+      .select(col("s"), Dedup.portableHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pinned.foreach { case (s, v) =>
+      assert(got(s) == v, s"portableHash('$s') = ${got(s)}, DuckDB pin = $v")
+    }
+  }
+
   test("IVF search over empty vectors / empty centroids yields zero rows") {
     import spark.implicits._
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

@@ -108,9 +108,61 @@ class PlanSpec extends AnyFunSuite {
       "lateral must join on the correlation key, not enumerate pairs")
   }
 
+  /** The physical tree WITH exchanges inserted and WITHOUT the adaptive
+    * wrapper: `sparkPlan` predates EnsureRequirements (no exchanges yet)
+    * and `executedPlan` under AQE is an AdaptiveSparkPlanExec leaf that
+    * `collect` cannot descend into — so build the plan with AQE off. */
+  private def physical(q: String): org.apache.spark.sql.execution.SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def shufflePartitionings(q: String): Seq[org.apache.spark.sql.catalyst.plans.physical.Partitioning] =
+    physical(q).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s.outputPartitioning
+    }
+
   test("chunking stays a per-row explode — no shuffle in the plan") {
-    val p = plan("q_chunk")
-    assert(!p.replaceAll("(?s)Sort \\[doc_id.*", "").contains("Exchange hashpartitioning"),
-      "chunk generation must not shuffle before the final presentation sort")
+    // Walk the physical tree instead of regexing explain text: the only
+    // shuffles allowed are range-partitioned (the presentation sort); a
+    // hash shuffle anywhere means chunk generation stopped being per-row.
+    val shuffles = shufflePartitionings("q_chunk")
+    assert(shuffles.nonEmpty && shuffles.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"chunk generation must not hash-shuffle before the presentation sort; got $shuffles")
+  }
+
+  private def hashShuffles(q: String): Seq[String] =
+    shufflePartitionings(q).collect {
+      case p: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => p.toString
+    }
+
+  test("tpch17: the avg-quantity subtree shuffles exactly once, on the join key") {
+    // The correlated-AVG rewrite costs ONE hashpartitioning exchange (the
+    // per-part aggregate); the probe side rides the broadcast part edge and
+    // the final global aggregate is a SinglePartition exchange, not a hash.
+    val hs = hashShuffles("q_tpch17")
+    assert(hs.size == 1 && hs.head.contains("l_partkey"),
+      s"expected exactly one hash shuffle on l_partkey, got $hs")
+  }
+
+  test("pack: one window shuffle on the stratum; the bin aggregate reuses it") {
+    // groupBy(lang, bin) after a window partitioned by lang must NOT add a
+    // second exchange — hashpartitioning(lang) already clusters (lang, bin).
+    val hs = hashShuffles("q_pack")
+    assert(hs.size == 1 && hs.head.contains("lang"),
+      s"expected exactly one hash shuffle on lang, got $hs")
+  }
+
+  test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row n_docs aggregate must broadcast, never shuffle-join")
+    // df-as-window (not a tf⋈tf self-join) means the documents scan appears
+    // exactly twice: once under tf, once under the n_docs count.
+    val scans = "Scan parquet".r.findAllIn(physical("q_tfidf").toString).size
+    assert(scans <= 2, s"tf subtree duplicated: $scans document scans in the plan")
   }
 }

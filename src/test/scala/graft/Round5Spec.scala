@@ -18,10 +18,23 @@ class Round5Spec extends AnyFunSuite {
   }
 
   test("q_tpch17: small-quantity filter is strictly below 20% of part avg") {
-    // n_small counts only lineitems with 5*qty*cnt < sum_qty; recompute the
-    // count independently through plain SQL over the same tables.
+    // Recompute n_small independently through plain SQL over the same
+    // parquet tables (the 5*qty*cnt < sum_qty predicate spelled out from
+    // scratch) and require exact agreement with the DataFrame pipeline.
     val r = ops.Tpch.tpch17(spark, sf).collect().head
-    assert(r.getAs[Long]("n_small") >= 0)
+    val expected = spark.sql(
+      s"""WITH a AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+         |                  count(*) AS c
+         |           FROM parquet.`$sf/lineitem.parquet` GROUP BY l_partkey)
+         |SELECT count(*) AS n
+         |FROM parquet.`$sf/lineitem.parquet` l
+         |JOIN parquet.`$sf/part.parquet` p
+         |  ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#4'
+         |JOIN a ON l.l_partkey = a.l_partkey
+         |WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.c < a.sq""".stripMargin)
+      .head.getLong(0)
+    assert(r.getAs[Long]("n_small") == expected,
+      s"n_small=${r.getAs[Long]("n_small")} but independent SQL recount=$expected")
     assert(math.abs(r.getAs[Double]("avg_yearly") * 7 - r.getAs[Double]("total_price")) < 1e-6)
   }
 
