@@ -266,7 +266,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup screening — the minhash companion to
+    * [[TextOps.dedupIncremental]]'s exact-fingerprint shape: a new document
+    * batch's band signatures are joined against the EXISTING corpus's band
+    * table (at scale: a maintained, bucketed-by-(band,sig) signature store —
+    * only the new batch computes signatures each day), candidates are
+    * exact-Jaccard verified, and each new doc reports its candidate count,
+    * best verified similarity, and the resulting novel/duplicate decision.
+    * The corpus splits by one bit of the portable document hash so the whole
+    * pipeline — LSH bucket decisions included — is DuckDB-oracle-checked. */
+  def incrementalNearDupScreen(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val docs = existing.select("doc_id", "text").unionByName(batch.select("doc_id", "text"))
+    val exBands = minhashBands(minhashSignatures(existing))
+      .select(col("band"), col("sig"), col("doc_id").as("ex_id"))
+    val cands = minhashBands(minhashSignatures(batch))
+      .join(exBands, Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
+      .distinct()
+    val best = exactJaccard(cands, docs)
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("n_cands"), max(col("jaccard")).as("best_j"))
+    batch.select(col("doc_id"))
+      .join(best, col("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("best_j"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("best_j"), lit(0.0)) < 0.6).as("novel"))
+  }
+
+  val incrementalNearDup: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .withColumn("b", pmod(portableHash(col("doc_id").cast("string")), lit(2L)))
+    incrementalNearDupScreen(docs.filter(col("b") === 0), docs.filter(col("b") === 1))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_neardup_incremental" -> incrementalNearDup,
     "q_minhash_pairs" -> minhashPairs,
     "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
@@ -335,9 +371,39 @@ object Dedup {
       s"SELECT doc_id, simhash, $bands FROM s ORDER BY doc_id"
   }
 
+  /** SQL mirror of [[incrementalNearDup]]: same split bit, same signature
+    * family, batch bands joined to existing bands, same verify + per-doc
+    * aggregation. Generated from the same constants as the Spark path. */
+  private val IncNearDupOracle: String = {
+    val permCols = (0 until NumHashes)
+      .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
+      .mkString(", ")
+    val bandRows = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(", ")
+      s"SELECT doc_id, b, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text, " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), " +
+      s"sh AS (SELECT doc_id, b, unnest($ShinglesSql) AS sh FROM t), " +
+      s"h AS (SELECT doc_id, b, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h30 FROM sh), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, b, $permCols FROM h GROUP BY doc_id, b), " +
+      s"bands AS ($bandRows), " +
+      s"cand AS (SELECT DISTINCT n.doc_id AS doc_a, e.doc_id AS doc_b FROM bands n " +
+      s"JOIN bands e ON n.band = e.band AND n.sig = e.sig WHERE n.b = 1 AND e.b = 0), " +
+      s"tok AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents), " +
+      s"v AS (SELECT doc_a, count(*) AS n_cands, max(jac) AS best_j FROM " +
+      s"(SELECT c.doc_a, CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) / " +
+      s"len(list_distinct(list_concat(ta.toks, tb.toks))) AS jac " +
+      s"FROM cand c JOIN tok ta ON c.doc_a = ta.doc_id JOIN tok tb ON c.doc_b = tb.doc_id) x GROUP BY doc_a) " +
+      s"SELECT t.doc_id, CAST(coalesce(v.n_cands, 0) AS BIGINT) AS n_cands, " +
+      s"coalesce(v.best_j, 0.0) AS best_jaccard, coalesce(v.best_j, 0.0) < 0.6 AS novel " +
+      s"FROM t LEFT JOIN v ON t.doc_id = v.doc_a WHERE t.b = 1 ORDER BY t.doc_id"
+  }
+
   /** Everything in this module — the full LSH pairs and cluster pipelines
     * included — is oracle-checked via the engine-portable hash. */
   val oracle: Map[String, String] = Map(
+    "q_neardup_incremental" -> IncNearDupOracle,
     "q_simhash" -> SimhashOracle,
     "q_minhash_pairs" -> MinhashPairsOracle,
     "q_dedup_clusters" -> DedupClustersOracle,

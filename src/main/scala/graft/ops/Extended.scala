@@ -333,8 +333,23 @@ object Extended {
       .orderBy("n_nationkey")
   }
 
+  /** JSON-lines file source: same staging pattern as [[csvScan]] with
+    * Spark's json writer/reader — the other ubiquitous text ingest format.
+    * Explicit schema again: schema inference on JSON costs a full extra
+    * pass at 100 TB and infers from whatever subset it samples. */
+  val jsonlScan: Q = (s, d) => {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_jsonl_region_" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+    Tables(s, d, "region").select("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite").json(stage)
+    s.read.schema("r_regionkey INT, r_name STRING").json(stage)
+      .orderBy("r_regionkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_csv_scan" -> csvScan,
+    "q_jsonl_scan" -> jsonlScan,
     "q_lateral" -> lateralTopN,
     "q_mode" -> modeAgg,
     "q_bool_agg" -> boolAgg,
@@ -363,6 +378,8 @@ object Extended {
   val oracle: Map[String, String] = Map(
     "q_csv_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_jsonl_scan" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
     "q_lateral" ->
       """SELECT c_custkey, o_orderkey, o_totalprice FROM customer JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) ON true ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "q_mode" ->

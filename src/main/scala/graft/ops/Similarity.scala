@@ -244,20 +244,30 @@ object Similarity {
       .select(col("cell").as("cent_id"), col("cemb"))
   }
 
-  /** IVF ANN with one round of k-means training: seed centroids (the same
-    * deterministic 16 as q_ivf_ann) → one Lloyd step → probe the trained
-    * cells. Iterative float argmax makes the trained assignment
-    * SQL-inexpressible in practice → rows-only check; recall vs brute force
-    * on planted neighbors asserted in SimilaritySpec. */
+  /** Full Lloyd training loop: `iters` rounds of [[kmeansStep]], lineage
+    * truncated EVERY iteration — the trained-centroid DataFrame would
+    * otherwise be referenced multiple times per round (assignment join +
+    * update) and double the logical plan each iteration (the same 2^k
+    * pathology [[Dedup.connectedComponents]] fixes the same way). The
+    * checkpointed set is #cells × dim — trivially small — so each round
+    * costs exactly its own broadcast + two shuffles over the vectors. */
+  def kmeansTrain(emb: DataFrame, seed: DataFrame, iters: Int): DataFrame = {
+    var cent = seed.localCheckpoint()
+    for (_ <- 0 until iters) cent = kmeansStep(emb, cent).localCheckpoint()
+    cent
+  }
+
+  /** IVF ANN with k-means training: seed centroids (the same deterministic
+    * 16 as q_ivf_ann) → two Lloyd iterations → probe the trained cells.
+    * Iterative float argmax makes the trained assignment SQL-inexpressible
+    * in practice → rows-only check; recall vs brute force on planted
+    * neighbors asserted in Round6Spec (single step and full loop). */
   val ivfKmeans: Q = (s, d) => {
     val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"))
     val seed = Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-    // The trained set is ≤16 rows but feeds TWO consumers inside ivfSearch
-    // (assignment scoring + probe ranking); localCheckpoint materializes the
-    // Lloyd step once instead of re-running its three shuffles per consumer.
-    val trained = kmeansStep(emb, seed).localCheckpoint()
+    val trained = kmeansTrain(emb, seed, iters = 2)
     ivfSearch(emb, trained, queryVector(s, d), nProbe = 2, k = 10)
       .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
       .orderBy("vec_id")

@@ -58,6 +58,52 @@ class Round6Spec extends AnyFunSuite {
       s"trained IVF should recall the planted cluster, got $top5")
   }
 
+  test("incremental near-dup screen flags planted cross-corpus near-dups and passes novel docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today " +
+      "while the happy farmer watches the field from the old wooden gate nearby"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely unrelated text about database engines and query plans here"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " tonight"), // near-dup of existing doc 1
+      (101L, "a genuinely novel document with entirely different words and content"),
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.incrementalNearDupScreen(existing, batch)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!out(100L)._3, s"planted near-dup should NOT be novel: ${out(100L)}")
+    assert(out(100L)._2 >= 0.6)
+    assert(out(101L)._3 && out(101L)._1 == 0L,
+      s"unrelated doc should be novel with zero candidates: ${out(101L)}")
+  }
+
+  test("kmeansTrain: two Lloyd iterations keep the planted cluster recalled") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val planted = (1L to 5L).map(i => (i, q.map(x => x + math.signum(x) * 0.01f * i)))
+    val noise = (100L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = (planted ++ noise).toDF("vec_id", "embedding")
+    val seed = noise.take(8).toDF("cent_id", "cemb")
+    val trained = ops.Similarity.kmeansTrain(emb, seed, iters = 2)
+    val qdf = Seq(Tuple1(q)).toDF("qemb")
+    val top5 = ops.Similarity.ivfSearch(emb, trained, qdf, nProbe = 2, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top5 == Set(1L, 2L, 3L, 4L, 5L),
+      s"trained IVF (2 iterations) should recall the planted cluster, got $top5")
+  }
+
+  test("q_jsonl_scan round-trips region through the JSON-lines source bit-exactly") {
+    val viaJson = ops.Extended.jsonlScan(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val direct = Tables(spark, sf, "region")
+      .select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(viaJson.toSeq == direct.toSeq && viaJson.nonEmpty)
+  }
+
   test("q_quality_filter fixture invariant: n_chars equals the text length") {
     // mean_wlen is derived as (n_chars - (n_words - 1)) / n_words, which is
     // only the true mean word length if n_chars == length(text) and tokens
