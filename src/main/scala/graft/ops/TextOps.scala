@@ -110,6 +110,32 @@ object TextOps {
         min(col("h")).as("min_fp"), max(col("h")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** PII scrubbing — the redaction pass every pretraining corpus runs:
+    * emails, URLs, and phone numbers replaced by typed placeholder tokens,
+    * with per-document match counts for audit/rollup. Patterns are kept in
+    * the RE2-compatible subset (no backrefs/lookaround) so Spark's Java
+    * regex and the oracle's RE2 match identically; the scrubbed text is
+    * emitted as an md5 fingerprint, which both keeps the compare payload
+    * small and proves the REDACTED BYTES are identical cross-engine, not
+    * just the counts. Pure per-row map over one scan — read-bandwidth at
+    * 100 TB, composes with column pruning. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+  private val PhoneRe = "\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), UrlRe, "<URL>"), PhoneRe, "<PHONE>")
+
+  val piiScrub: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(scrubPii(col("text"))).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
   /** Heuristic language-ID: CJK char-class detection + per-language stopword
     * voting. Pure Column expression (codegen'd); accuracy is asserted on real
     * multilingual sentences in LangIdSpec, and the full decision function is
@@ -352,6 +378,7 @@ object TextOps {
     "q_wordcount" -> wordcount,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_pii_scrub" -> piiScrub,
     "q_text_stats" -> textStats,
     "q_text_quality" -> textQuality,
     "q_lang_stats" -> langStats,
@@ -387,6 +414,8 @@ object TextOps {
       """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails, CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls, CAST(len(regexp_extract_all(text, '\d{3}[- ]\d{3}[- ]\d{4}')) AS INTEGER) AS n_phones, md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g'), '\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g')) AS scrubbed_fp FROM documents ORDER BY doc_id""",
     "q_dedup_incremental" ->
       """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
     "q_text_stats" ->

@@ -104,6 +104,22 @@ class Round6Spec extends AnyFunSuite {
     assert(viaJson.toSeq == direct.toSeq && viaJson.nonEmpty)
   }
 
+  test("PII scrub redacts planted emails, URLs, and phone numbers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.b+spam@corp.example.com or bob@ex.org for info"),
+      (2L, "docs at https://example.com/a?b=1 and nothing else"),
+      (3L, "call 555-123-4567 or 555 987 6543 right now"),
+      (4L, "no pii in this one at all"),
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), ops.TextOps.scrubPii(col("text")).as("clean"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "write to <EMAIL> or <EMAIL> for info")
+    assert(m(2L) == "docs at <URL> and nothing else")
+    assert(m(3L) == "call <PHONE> or <PHONE> right now")
+    assert(m(4L) == "no pii in this one at all")
+  }
+
   test("q_quality_filter fixture invariant: n_chars equals the text length") {
     // mean_wlen is derived as (n_chars - (n_words - 1)) / n_words, which is
     // only the true mean word length if n_chars == length(text) and tokens
