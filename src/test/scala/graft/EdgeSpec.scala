@@ -93,6 +93,22 @@ class EdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup screen: empty existing corpus makes every batch doc novel") {
+    import spark.implicits._
+    val existing = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "some words here today"), (2L, "other words there tomorrow"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalNearDupScreen(existing, batch).collect()
+    assert(out.length == 2 && out.forall(r => r.getBoolean(3) && r.getLong(1) == 0L))
+  }
+
+  test("incremental near-dup screen: empty batch yields zero rows, no errors") {
+    import spark.implicits._
+    val existing = Seq((1L, "some words here today")).toDF("doc_id", "text")
+    val batch = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.Dedup.incrementalNearDupScreen(existing, batch).count() == 0)
+  }
+
   test("IVF search over empty vectors / empty centroids yields zero rows") {
     import spark.implicits._
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
