@@ -260,18 +260,23 @@ object TextOps {
     * so the witness row is deterministic. Explode + per-doc groupBy + tiny
     * ranked window: the shuffle key is doc_id, never the corpus. */
   val repetition: Q = (s, d) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))
+    // The per-doc winner is an argmax, not a ranking: min_by over
+    // (-cnt, bg) picks the highest count with lexicographically-smallest
+    // tie-break in ONE map-side-combinable aggregate — a ranked window here
+    // would add a per-partition sort and carry every (doc, bigram) row
+    // through it just to keep row 1 (the round-5 shape; same result).
+    val winner = struct(col("bg").as("bg"), col("cnt").as("cnt"))
+    val key = struct((-col("cnt")).as("negcnt"), col("bg").as("bg"))
     Tables(s, d, "documents")
       .select(col("doc_id"), Dedup.shingles(col("text"), n = 2).as("bgs"))
       .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
         explode(col("bgs")).as("bg"))
       .groupBy("doc_id", "n_bigrams", "bg")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt").as("bg_cnt"),
-        (col("cnt").cast("double") / col("n_bigrams")).as("rep_ratio"))
+      .groupBy("doc_id", "n_bigrams")
+      .agg(min_by(winner, key).as("w"))
+      .select(col("doc_id"), col("w.bg").as("top_bigram"), col("w.cnt").as("bg_cnt"),
+        (col("w.cnt").cast("double") / col("n_bigrams")).as("rep_ratio"))
       .orderBy("doc_id")
   }
 
