@@ -27,8 +27,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb session
     // startup; deterministic (sorted) query order for run-to-run comparability.
-    try { spark.range(0, 1000000).selectExpr("sum(id)").collect() }
-    catch { case _: Throwable => () }
+    // The second warmup touches the parquet read path (footer parsing,
+    // vectorized-reader classes, FS metadata): without it the alphabetically
+    // first query pays it — q1_agg measured 1.8s vs its usual 0.3s, just
+    // under the 2.0s re-measure threshold.
+    try {
+      spark.range(0, 1000000).selectExpr("sum(id)").collect()
+      // Scan + group-by over the 5-row region table: parquet footer/vector
+      // reader, HashAggregate codegen, and one real exchange, all warmed
+      // without touching any table a measured query aggregates.
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count().collect()
+    } catch { case _: Throwable => () }
     val pool = Executors.newCachedThreadPool { (r: Runnable) =>
       val t = new Thread(r); t.setDaemon(true); t
     }
