@@ -26,6 +26,10 @@ object StreamDemo {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // collect() is fine HERE and only here: this main is a dev demo that
+    // replays the tiny fixture through MemoryStream. No registered query or
+    // production path collects to the driver — a real deployment reads a
+    // file/Kafka source via readStream instead of replaying.
     val events = Tables(spark, d, "events").as[E].collect().sortBy(_.ts.getTime)
     println(s"[demo] replaying ${events.length} events from $d")
 

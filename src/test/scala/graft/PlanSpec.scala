@@ -156,6 +156,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle on lang, got $hs")
   }
 
+  test("incremental near-dup: band match is an equi join, never an enumerated product") {
+    val p = plan("q_neardup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "batch×existing candidate generation must ride the (band, sig) equi key")
+  }
+
   test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"),
