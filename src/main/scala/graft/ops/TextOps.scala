@@ -136,6 +136,35 @@ object TextOps {
         md5(scrubPii(col("text"))).as("scrubbed_fp"))
       .orderBy("doc_id")
 
+  /** Benchmark-contamination screen (decontamination): which training-corpus
+    * documents share winnowing fingerprints with an evaluation/benchmark
+    * set? Both sides get mod-p-sampled shingle fingerprints ([[Dedup
+    * .portableHash]], same family as [[winnowFingerprints]]); one equi-join
+    * on the fingerprint value + a pair-count aggregate surfaces
+    * (benchmark doc, corpus doc, #shared passages). At 100 TB the benchmark
+    * fp set is tiny (thousands of eval documents) and BROADCASTS, so the
+    * screen is a map-side filter over the corpus scan — here both sides
+    * come from the fixture split (hash digit 0 = "benchmark") so the whole
+    * decision is DuckDB-oracle-checked. */
+  def contaminationScreen(bench: DataFrame, corpus: DataFrame): DataFrame = {
+    def fps(df: DataFrame) = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), Dedup.portableHash(col("sh")).as("h"))
+      .filter(pmod(col("h"), lit(8)) === 0)
+      .distinct()
+    fps(bench).withColumnRenamed("doc_id", "bench_id")
+      .join(fps(corpus).withColumnRenamed("doc_id", "corpus_id"), "h")
+      .groupBy("bench_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val contamination: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .withColumn("b", pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(10L)))
+    contaminationScreen(docs.filter(col("b") === 0), docs.filter(col("b") =!= 0))
+      .orderBy("bench_id", "corpus_id")
+  }
+
   /** Heuristic language-ID: CJK char-class detection + per-language stopword
     * voting. Pure Column expression (codegen'd); accuracy is asserted on real
     * multilingual sentences in LangIdSpec, and the full decision function is
@@ -384,6 +413,7 @@ object TextOps {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_incremental" -> dedupIncremental,
     "q_pii_scrub" -> piiScrub,
+    "q_contamination" -> contamination,
     "q_text_stats" -> textStats,
     "q_text_quality" -> textQuality,
     "q_lang_stats" -> langStats,
@@ -419,6 +449,8 @@ object TextOps {
       """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b FROM documents), sh AS (SELECT doc_id, b, unnest(${Dedup.ShinglesSql}) AS sh FROM t), f AS (SELECT DISTINCT doc_id, b, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh WHERE ('0x' || substr(md5(sh), 1, 15))::BIGINT % 8 = 0) SELECT a.doc_id AS bench_id, c.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS n_shared FROM f a JOIN f c ON a.h = c.h WHERE a.b = 0 AND c.b <> 0 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pii_scrub" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails, CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls, CAST(len(regexp_extract_all(text, '\d{3}[- ]\d{3}[- ]\d{4}')) AS INTEGER) AS n_phones, md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g'), '\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g')) AS scrubbed_fp FROM documents ORDER BY doc_id""",
     "q_dedup_incremental" ->

@@ -104,6 +104,23 @@ class Round6Spec extends AnyFunSuite {
     assert(viaJson.toSeq == direct.toSeq && viaJson.nonEmpty)
   }
 
+  test("contamination screen finds a benchmark passage planted in a corpus doc") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val bench = Seq((1L, passage)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "unrelated filler words " + passage + " trailing content here"),
+      (11L, "a completely different document with no overlap whatsoever at all"),
+    ).toDF("doc_id", "text")
+    val hits = ops.TextOps.contaminationScreen(bench, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((1L, 10L)),
+      s"expected only the planted (1,10) contamination pair, got ${hits.toSeq}")
+    assert(hits.head._3 >= 1L)
+  }
+
   test("PII scrub redacts planted emails, URLs, and phone numbers") {
     import spark.implicits._
     val df = Seq(
