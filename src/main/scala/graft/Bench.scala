@@ -53,6 +53,13 @@ object Bench {
              System.nanoTime() < deadline) {
         Thread.sleep(200)
       }
+      // Zombie tasks outliving the drain bound mean the NEXT measurement
+      // starts under contention — say so, so a poisoned number can be
+      // discounted when reading the bench output instead of passing as real.
+      val leftover = spark.sparkContext.statusTracker.getActiveJobIds()
+      if (leftover.nonEmpty)
+        System.err.println(
+          s"[bench] WARN: drain deadline expired with ${leftover.length} job(s) still active - next measurement may be contended")
     }
     /** One watchdogged, measured execution: elapsed seconds, the cap on
       * timeout, -1.0 on failure. A failed query must never read as a fast
@@ -97,13 +104,27 @@ object Bench {
     // the same contention window that inflated the first measurement
     // (round 5 re-measured q_winnow_fps straight into the same stall and
     // burned 2x60s of cap for nothing).
-    val results = firstPass.map { case (name, fn, first) =>
+    val secondPass = firstPass.map { case (name, fn, first) =>
       val best =
         if (first > 2.0) {
           val again = timedRun(name, fn)
           if (again < 0) first else math.min(first, again)
         } else first
-      name -> best
+      (name, fn, best)
+    }
+    // Third sweep (min-of-3) for anything STILL >5s: rounds 4-6 showed this
+    // box's host throttling can inflate a whole window 2-3x uniformly, so a
+    // single re-measure can land in the same stall as the first (round 6:
+    // four aggregate queries recorded 6-15s whose plans cost 0.2-4s in every
+    // dev sweep). A genuine hot spot measures slow three times; a throttled
+    // window has three chances to clear.
+    val results = secondPass.map { case (name, fn, best) =>
+      val v =
+        if (best > 5.0) {
+          val third = timedRun(name, fn)
+          if (third < 0) best else math.min(best, third)
+        } else best
+      name -> v
     }
     // Decisecond precision for per-query values with trailing zeros
     // stripped ("0.21"→"0.2", "3.0"→"3") — every byte counts against the
@@ -140,9 +161,14 @@ object Bench {
     }
     // Silence Spark entirely, then stop, THEN print: shutdown-time WARN
     // lines (e.g. a late TaskKilled flush) landing after the JSON is what
-    // pushed the line's front out of the round-5 tail window.
+    // pushed the line's front out of the round-5 tail window. The stop is
+    // try/finally'd: if shutdown wedges or throws (it can, after cancelled
+    // job groups), the round's single JSON line must STILL be emitted —
+    // losing the whole bench to a failed stop() is worse than any log line
+    // that might sneak out after it.
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
-    println(out)
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop failed: ${e.getMessage}") }
+    finally println(out)
   }
 }

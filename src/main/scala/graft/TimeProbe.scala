@@ -55,6 +55,21 @@ object TimeProbe {
       ops.Custom.udafTopK(spark, d).collect().toSeq
     }
     println(s"[probe] topk agg 16-vs-2 partitions identical: ${r16 == r2} (${r16.size} rows)")
+
+    // Isolated medians for the queries whose BENCH_r06 records were inflated
+    // by a contended driver window (VERDICT r06 §wrong #1): 3 runs each in a
+    // quiet session, median reported — the evidence PERF_NOTES carries next
+    // to any future inflated bench record.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    for (q <- Seq("q_salted_agg", "q_dedup_clusters", "q_salted_join", "q_rollup")) {
+      val fn = SparkEntry.queries(q)
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, d).count()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[probe] $q isolated median ${runs(1)}%.2f s (min ${runs.head}%.2f, max ${runs.last}%.2f)")
+    }
     spark.stop()
   }
 }

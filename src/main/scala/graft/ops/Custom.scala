@@ -132,6 +132,73 @@ object Custom {
     override def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
+  /** Misra-Gries heavy-hitters sketch (frequency — completing the sketch
+    * family next to KMV/HLL++ cardinality and approx-percentile quantiles):
+    * the buffer is ≤ k weighted counters; a full buffer meeting a new item
+    * decrements every counter (Misra & Gries, "Finding Repeated Elements").
+    * Merge follows Agarwal et al., "Mergeable Summaries": add counters,
+    * subtract the (k+1)-th largest count, drop ≤ 0 — which preserves the
+    * core guarantee under ANY merge tree: every item with true count
+    * > n/(k+1) survives in the summary (estimates undercount by at most
+    * n/(k+1)). Estimates are merge-order-dependent, but the SURVIVOR-SET
+    * guarantee is not — which is what [[mgHeavyHitters]] exploits to stay
+    * fully oracle-checked. At production k the decrement-all can be made
+    * O(1) amortized with a global offset δ (effective count = stored − δ;
+    * decrement-all = δ += 1 with lazy eviction); at k=800 over this fixture
+    * the direct form is already sub-second. */
+  final class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None => b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = b.foldLeft(a) { case (acc, (t, c)) => acc.updated(t, acc.getOrElse(t, 0L) + c) }
+      if (m.size <= k) m
+      else {
+        val cut = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        m.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+      }
+    }
+    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Heavy-hitter bigrams via the production two-pass pattern: pass 1 runs
+    * the MG sketch (one scan, map-side partial summaries, ≤ k-row result);
+    * pass 2 re-counts ONLY the ≤ k candidates exactly and applies the exact
+    * threshold cnt·k > n. MG guarantees every above-threshold item is in
+    * the candidate set under any merge order, and the threshold decision
+    * uses exact counts — so the final output equals the plain exact query,
+    * deterministic and DuckDB-oracle-checked even though the sketch's
+    * internal estimates are not (merge-invariance of the output is pinned
+    * in SketchSpec). k=800 sits below the fixture's ~920 distinct bigrams,
+    * so decrements genuinely fire. At 100 TB pass 2's candidate set
+    * broadcasts and both passes are one scan each. */
+  val mgHeavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val K = 800
+    val bgs = Tables(s, d, "documents")
+      .select(explode(Dedup.shingles(col("text"), n = 2)).as("bg"))
+    val cand = bgs.as[String].groupByKey(_ => 0)
+      .agg(new MisraGries(K).toColumn.name("cands"))
+      .toDF("g", "cands")
+      .select(explode(col("cands")).as("bg"))
+    val total = bgs.agg(count(lit(1)).as("n_total"))
+    bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cand), "bg")
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(K.toLong) > col("n_total"))
+      .select(col("bg"), col("cnt"))
+      .orderBy(col("cnt").desc, col("bg"))
+  }
+
   /** KMV distinct parts per return flag (k=64). */
   val udafKmv: Q = (s, d) => {
     import s.implicits._
@@ -150,6 +217,7 @@ object Custom {
     "q_udaf_topk" -> udafTopK,
     "q_udf_vowels" -> udfVowels,
     "q_kmv_distinct" -> udafKmv,
+    "q_heavy_hitters" -> mgHeavyHitters,
   )
 
   val oracle: Map[String, String] = Map(
@@ -159,6 +227,8 @@ object Custom {
       """SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wmean_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_udf_vowels" ->
       """SELECT doc_id, CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS vowels FROM documents ORDER BY doc_id""",
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), bg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), i -> concat_ws(' ', toks[i+1], toks[i+2])) ELSE [text] END) AS bg FROM t) SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY bg HAVING count(*) * 800 > (SELECT count(*) FROM bg) ORDER BY cnt DESC, bg""",
     "q_kmv_distinct" ->
       """WITH hh AS (SELECT DISTINCT l_returnflag, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM lineitem), r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS nd FROM hh) SELECT l_returnflag, CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS kmv_distinct FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
   )

@@ -317,16 +317,27 @@ object Extended {
     * through Spark's CSV writer and read back with an explicit schema —
     * proves the non-parquet source path end-to-end (header handling, typed
     * read, round-trip fidelity) and is oracle-checked against the original
-    * parquet. The staging write is deterministic-per-sfDir and idempotent
-    * (overwrite); production CSV ingest is the read half alone. Schema is
-    * explicit because CSV carries none — inference costs an extra pass and
-    * guesses types, both wrong at 100 TB. */
+    * parquet. Staging happens AT MOST ONCE per (format, sfDir) per JVM via
+    * [[stageOnce]] into a process-private temp directory, so the registered
+    * query's steady-state execution path is the read alone (a bench
+    * re-measure times zero writes) and two concurrent JVMs (driver Verify +
+    * sbt test) can never race on a shared staging path. Schema is explicit
+    * because CSV carries none — inference costs an extra pass and guesses
+    * types, both wrong at 100 TB. */
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageOnce(key: String)(write: String => Unit): String =
+    staged.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_stage_").toString
+      write(dir)
+      dir
+    })
+
   val csvScan: Q = (s, d) => {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_csv_nation_" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
-    Tables(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
-      .coalesce(1).write.mode("overwrite").option("header", "true").csv(stage)
+    val stage = stageOnce(s"csv_nation_$d") { dir =>
+      Tables(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    }
     s.read.option("header", "true")
       .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
       .csv(stage)
@@ -338,11 +349,10 @@ object Extended {
     * Explicit schema again: schema inference on JSON costs a full extra
     * pass at 100 TB and infers from whatever subset it samples. */
   val jsonlScan: Q = (s, d) => {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_region_" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
-    Tables(s, d, "region").select("r_regionkey", "r_name")
-      .coalesce(1).write.mode("overwrite").json(stage)
+    val stage = stageOnce(s"jsonl_region_$d") { dir =>
+      Tables(s, d, "region").select("r_regionkey", "r_name")
+        .coalesce(1).write.mode("overwrite").json(dir)
+    }
     s.read.schema("r_regionkey INT, r_name STRING").json(stage)
       .orderBy("r_regionkey")
   }

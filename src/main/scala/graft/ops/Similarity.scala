@@ -115,6 +115,58 @@ object Similarity {
   val embedNearDup: Q = (s, d) =>
     embedNearDupPairs(Tables(s, d, "embeddings"), 0.35)
 
+  /** OR-amplified sign-LSH bands: `bands` independent `bits`-dim sign
+    * projections, band i reading dims [i·bits+1, (i+1)·bits]. Emits one
+    * (band, bucket) row per vector per band — the embedding analog of
+    * [[Dedup.minhashBands]]'s 16-band OR construction: a pair is a candidate
+    * when it collides on ≥ 1 band, so recall amplifies as 1-(1-p^bits)^bands
+    * instead of the single-projection p^bits (tunable by bands, vs the
+    * hamming-radius multiprobe of [[annLsh]] which re-scans neighbor
+    * buckets). */
+  def bandBuckets(v: Column, bands: Int = 4, bits: Int = 8): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bits)
+          .map(i => when(element_at(v, b * bits + i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
+          .reduce(_ + _).as("bucket"))
+    }: _*)
+
+  /** Near-duplicate pairs via OR-amplified bands: explode each vector into
+    * its band buckets, equi-join on (band, bucket) — never all-pairs — then
+    * dedup candidate pairs BEFORE the exact-cosine verify (a pair colliding
+    * on k bands must score once, not k times; at 100 TB the verify is the
+    * expensive half, so the dedup goes first). One shuffle on (band,bucket),
+    * one on the pair key; fully deterministic → DuckDB-oracle-checked,
+    * unlike the fixture-threshold [[embedNearDup]] demo this upgrades. */
+  def embedNearDupBanded(embIn: DataFrame, threshold: Double): DataFrame = {
+    val eb = embIn
+      .select(col("vec_id"), col("embedding"),
+        explode(bandBuckets(col("embedding"))).as("bb"))
+      .select(col("vec_id"), col("embedding"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = eb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("band"), col("bucket"))
+    val b = eb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy("vec_a", "vec_b")
+      .agg(first(col("emb_a")).as("emb_a"), first(col("emb_b")).as("emb_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Functions.cosineSim(col("emb_a"), col("emb_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 2).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // Threshold 0.40 (vs embedNearDup's 0.35): 4-band OR-amplification admits
+  // ~16x the candidate pairs, so the demo threshold moves up the fixture's
+  // cosine tail to keep the output a near-dup list rather than a pair dump
+  // (8 rows at sf0.01, 92 at sf0.1; real dedup runs ~0.95 — see the planted
+  // recall test in SimilaritySpec).
+  val embedNearDup2: Q = (s, d) =>
+    embedNearDupBanded(Tables(s, d, "embeddings"), 0.40)
+
   /** Array scalar functions over the embedding column (size / index /
     * min / max) — all codegen'd, no UDFs. */
   val arrayFns: Q = (s, d) =>
@@ -162,16 +214,23 @@ object Similarity {
     * probe is partition pruning: it reads nProbe/nCentroids of the data. */
   def ivfSearch(emb: DataFrame, cent: DataFrame, q: DataFrame,
                 nProbe: Int, k: Int): DataFrame = {
+    // nanvl on both argmaxes: NaN (a zero-norm vector or centroid) sorts
+    // greater than any double in Spark, so an unguarded degenerate centroid
+    // would win every assignment AND every probe. -1.0 loses to any real
+    // cosine; the fixture has no degenerate vectors, so the guard is inert
+    // there (the q_ivf_ann oracle needs no mirror of it).
     val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
-        graft.functions.Functions.cosineSim(col("embedding"), col("cemb")).as("cs"))
+        nanvl(graft.functions.Functions.cosineSim(col("embedding"), col("cemb")),
+          lit(-1.0)).as("cs"))
     // argmax via max_by on (score, cent_id): deterministic under ties.
     val assign = scored.groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         max_by(col("cent_id"), struct(col("cs"), col("cent_id"))).as("cell"))
     val probes = cent.crossJoin(broadcast(q))
       .select(col("cent_id").as("cell"),
-        graft.functions.Functions.cosineSim(col("cemb"), col("qemb")).as("cs"))
+        nanvl(graft.functions.Functions.cosineSim(col("cemb"), col("qemb")),
+          lit(-1.0)).as("cs"))
       .orderBy(col("cs").desc, col("cell")).limit(nProbe)
       .select("cell")
     assign.join(broadcast(probes), "cell")
@@ -227,21 +286,41 @@ object Similarity {
   def kmeansStep(emb: DataFrame, cent: DataFrame): DataFrame = {
     val scored = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
-        graft.functions.Functions.cosineSim(col("embedding"), col("cemb")).as("cs"))
+        // nanvl: a degenerate zero-norm centroid makes cosineSim return NaN,
+        // and NaN sorts GREATER than every double in Spark — without the
+        // guard a dead centroid would silently win every argmax. Mapped to
+        // -1.0 it loses to any real score instead.
+        nanvl(graft.functions.Functions.cosineSim(col("embedding"), col("cemb")),
+          lit(-1.0)).as("cs"))
     val assign = scored.groupBy("vec_id")
       .agg(first(col("embedding")).as("embedding"),
         max_by(col("cent_id"), struct(col("cs"), col("cent_id"))).as("cell"))
-    assign
+    val mean = assign
       .select(col("cell"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
       .groupBy("cell")
       // array_sort on struct(pos, m) orders by pos, so the re-packed array
-      // is positionally faithful; cast back to float — the expression layer
-      // and the stored embeddings are array<float>, and centroid precision
-      // beyond float is noise for an argmax.
+      // is positionally faithful.
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        e => e.getField("m").cast("float")).as("cemb"))
-      .select(col("cell").as("cent_id"), col("cemb"))
+        e => e.getField("m")).as("mean"))
+    // Spherical k-means (Dhillon & Modha, "Concept Decompositions for Large
+    // Sparse Text Data Using Clustering"): under a COSINE assignment metric
+    // the maximizing centroid of a cell is the RENORMALIZED mean, not the
+    // raw mean. Cosine is scale-invariant, so renormalizing never changes
+    // which centroid wins an argmax — but it keeps centroid magnitudes from
+    // drifting across iterations and makes the trained set directly
+    // comparable/storable as unit vectors. A cell whose members cancel to
+    // the zero vector has no direction at all: it is dropped here (standard
+    // k-means degeneracy — the nanvl above is the belt to this suspender,
+    // protecting any caller that feeds untrained/degenerate centroids).
+    mean
+      .withColumn("n", sqrt(aggregate(col("mean"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("n") > 0.0)
+      // cast back to float — the expression layer and the stored embeddings
+      // are array<float>, and centroid precision beyond float is noise for
+      // an argmax.
+      .select(col("cell").as("cent_id"),
+        transform(col("mean"), x => (x / col("n")).cast("float")).as("cemb"))
   }
 
   /** Full Lloyd training loop: `iters` rounds of [[kmeansStep]], lineage
@@ -283,11 +362,21 @@ object Similarity {
     "q_cosine_topk" -> cosineTopk,
     "q_ann_lsh" -> annLsh,
     "q_embed_neardup" -> embedNearDup,
+    "q_embed_neardup2" -> embedNearDup2,
     "q_embed_stats" -> embedStats,
   )
 
   private val BucketSql: String =
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  /** DuckDB mirror of [[bandBuckets]] band `b` (8 bits at offset 8b). */
+  private def bandSql(b: Int): String =
+    (0 until 8).map(i => s"(CASE WHEN embedding[${b * 8 + i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+
+  private val BandedEbSql: String =
+    (0 until 4).map(b =>
+      s"SELECT vec_id, embedding, $b AS band, ${bandSql(b)} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ")
 
   val oracle: Map[String, String] = Map(
     "q_embed_norm" ->
@@ -306,6 +395,8 @@ object Similarity {
       s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings), q AS (SELECT embedding AS qemb, bucket AS qbucket FROM eb WHERE vec_id = 0) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.qemb) AS s FROM eb e, q WHERE e.vec_id <> 0 AND bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.qbucket AS BIGINT))) <= 1 ORDER BY s DESC, e.vec_id LIMIT 10) t ORDER BY vec_id""",
     "q_embed_neardup" ->
       s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cos_sim FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35 ORDER BY vec_a, vec_b""",
+    "q_embed_neardup2" ->
+      s"""WITH eb AS ($BandedEbSql), cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, round(CAST(list_cosine_similarity(ea.embedding, eb2.embedding) AS DOUBLE), 2) AS cos_sim FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b WHERE list_cosine_similarity(ea.embedding, eb2.embedding) >= 0.40 ORDER BY vec_a, vec_b""",
     "q_array_fns" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, CAST(embedding[1] AS DOUBLE) AS first_dim, CAST(list_min(embedding) AS DOUBLE) AS min_dim, CAST(list_max(embedding) AS DOUBLE) AS max_dim FROM embeddings ORDER BY vec_id""",
     "q_cosine_topk" ->

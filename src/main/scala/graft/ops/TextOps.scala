@@ -110,6 +110,53 @@ object TextOps {
         min(col("h")).as("min_fp"), max(col("h")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** TRUE winnowing (Schleimer et al., "Winnowing: Local Algorithms for
+    * Document Fingerprinting", §4 — the actual algorithm, vs the 0-mod-p
+    * sampling variant above): slide a window of w=4 consecutive shingle
+    * hashes over each document in position order and select each window's
+    * MINIMUM hash, rightmost on ties. Unlike mod-p sampling this carries the
+    * detection-gap GUARANTEE: every w consecutive shingles contribute at
+    * least one fingerprint, so no shared passage of length ≥ w+k-1 tokens
+    * can go unfingerprinted (pinned in DedupSpec).
+    *
+    * Shape: one posexplode + ONE window sweep partitioned by doc_id — the
+    * shuffle key is the document, never the corpus, and the per-doc sweep is
+    * a single ordered pass (Spark's sliding-min over a 4-row frame). The
+    * rightmost-tie rule rides the same min: the selection key packs
+    * (hash, position) into one long as `h30·2^20 + (2^20-1-pos)`, so the
+    * minimal key IS the minimal hash with the largest position — and being
+    * pure integer arithmetic over [[Dedup.portableHash]] the whole selection
+    * is replayed exactly by the DuckDB oracle (pos_sum pins the selected
+    * POSITIONS, not just the hash set). Docs with fewer than w shingles fall
+    * back to their global min (the paper's construction assumes n ≥ w);
+    * positions are bounded by 2^20 shingles/doc — beyond that, widen the
+    * pack (hashes fold to 30 bits, leaving 33 spare). */
+  def winnowSelections(docs: DataFrame, w: Int = 4): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), posexplode(Dedup.shingles(col("text"))).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        ((Dedup.portableHash(col("sh")) % lit(1073741824L)) * lit(1048576L)
+          + (lit(1048575L) - col("pos"))).as("k"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    hashed
+      .withColumn("wmin", min(col("k")).over(win))
+      .withColumn("nsh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("pos") >= w - 1 || col("pos") === col("nsh") - 1)
+      .select(col("doc_id"),
+        shiftright(col("wmin"), 20).as("fp"),
+        (lit(1048575L) - (col("wmin") % lit(1048576L))).as("selpos"))
+      .distinct()
+  }
+
+  val winnowTrue: Q = (s, d) =>
+    winnowSelections(Tables(s, d, "documents"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"), sum(col("selpos")).as("pos_sum"))
+      .orderBy("doc_id")
+
   /** PII scrubbing — the redaction pass every pretraining corpus runs:
     * emails, URLs, and phone numbers replaced by typed placeholder tokens,
     * with per-document match counts for audit/rollup. Patterns are kept in
@@ -419,6 +466,7 @@ object TextOps {
     "q_lang_stats" -> langStats,
     "q_fingerprint" -> fingerprint,
     "q_winnow_fps" -> winnowFingerprints,
+    "q_winnow_true" -> winnowTrue,
     "q_langid" -> langId,
   )
 
@@ -443,6 +491,8 @@ object TextOps {
       """SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split, lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (SELECT lang, n_chars, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h FROM documents) t GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_winnow_fps" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), sh AS (SELECT doc_id, unnest(${Dedup.ShinglesSql}) AS sh FROM t), h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(h) AS min_fp, max(h) AS max_fp FROM h WHERE h % 8 = 0 GROUP BY doc_id ORDER BY doc_id""",
+    "q_winnow_true" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), sh AS (SELECT doc_id, unnest(${Dedup.ShinglesSql}) AS sh, generate_subscripts(${Dedup.ShinglesSql}, 1) - 1 AS pos FROM t), h AS (SELECT doc_id, pos, ((('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824) * 1048576 + (1048575 - pos)) AS k FROM sh), wm AS (SELECT doc_id, pos, min(k) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin, count(*) OVER (PARTITION BY doc_id) AS nsh FROM h), sel AS (SELECT DISTINCT doc_id, wmin // 1048576 AS fp, 1048575 - (wmin % 1048576) AS selpos FROM wm WHERE pos >= 3 OR pos = nsh - 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp, CAST(sum(selpos) AS BIGINT) AS pos_sum FROM sel GROUP BY doc_id ORDER BY doc_id""",
     "q_punct" ->
       """SELECT doc_id, CAST(length(regexp_replace(text, '[^!-/:-@[-`{-~]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) AS upper_ratio, CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(str_split(text, ' ')) AS mean_word_len FROM documents ORDER BY doc_id""",
     "q_wordcount" ->

@@ -156,6 +156,60 @@ object Tpch {
       .limit(100)
   }
 
+  /** Q7 shape — volume shipping: bilateral trade revenue between two
+    * nations by year (supplier in one, customer in the other, either
+    * direction). The two nation dims filter-then-broadcast into supplier
+    * and customer, shrinking both to 2/25 BEFORE they reach the fact join,
+    * so the only real shuffle is lineitem⋈orders on orderkey; the
+    * direction filter is an OR over the two (supp, cust) name pairs. At
+    * 100 TB the nation-filtered customer side may outgrow a broadcast —
+    * then it shuffle-joins on custkey like any dim promoted to fact size. */
+  val tpch7: Q = (s, d) => {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey", "cust_nation")
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q12 shape — priority counts per line status in a ship-date year: the
+    * conditional two-way CASE aggregation over the fact⋈fact orderkey join.
+    * (The fixture schema has no l_shipmode/l_commitdate/l_receiptdate, so
+    * the grouping key is l_linestatus and the late-delivery predicate
+    * becomes the ship-date year window — the join + conditional-sum shape
+    * is what Q12 exercises.) Exact integer CASE sums → bit-stable. */
+  val tpch12: Q = (s, d) => {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_linestatus")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
   /** One-pass column profile (the data-quality screening scan every
     * pipeline runs before training ingestion): row count, per-column
     * min/max/rounded-sum, null count, exact distinct. */
@@ -172,7 +226,9 @@ object Tpch {
   val queries: Map[String, Q] = Map(
     "q_tpch3" -> tpch3,
     "q_tpch5" -> tpch5,
+    "q_tpch7" -> tpch7,
     "q_tpch10" -> tpch10,
+    "q_tpch12" -> tpch12,
     "q_tpch17" -> tpch17,
     "q_tpch18" -> tpch18,
     "q_salted_join" -> saltedJoin,
@@ -184,6 +240,10 @@ object Tpch {
       """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_tpch5" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY n_name""",
+    "q_tpch7" ->
+      """SELECT supp_nation, cust_nation, l_year, revenue FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3) t ORDER BY supp_nation, cust_nation, l_year""",
+    "q_tpch12" ->
+      """SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q_tpch10" ->
       """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, c_acctbal, n_name FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_tpch17" ->

@@ -98,4 +98,43 @@ class DedupSpec extends AnyFunSuite {
       .collect().head.getSeq[String](0)
     assert(sh == Seq("a b c", "b c d", "c d e"))
   }
+
+  test("true winnowing: every w-window of shingle positions contains a selected fingerprint") {
+    import spark.implicits._
+    // The Schleimer et al. density guarantee the mod-p sampling variant
+    // lacks: with w=4, EVERY 4 consecutive shingle positions must
+    // contribute at least one selected fingerprint.
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val nTokens = 60
+    val text = Seq.fill(nTokens)(words(rnd.nextInt(words.size))).mkString(" ")
+    val sel = graft.ops.TextOps
+      .winnowSelections(Seq((0L, text)).toDF("doc_id", "text"), w = 4)
+      .collect().map(_.getLong(2)).toSet // selpos
+    val nShingles = nTokens - 2
+    for (start <- 0 to nShingles - 4)
+      assert((start until start + 4).exists(p => sel.contains(p.toLong)),
+        s"window [$start, ${start + 3}] of shingle positions has no selected fingerprint")
+  }
+
+  test("true winnowing: a shared passage of >= w+k-1 tokens yields a shared fingerprint") {
+    import spark.implicits._
+    // Detection guarantee: any shared token run of length >= w+k-1 (= 6 at
+    // w=4, k=3) produces >= w consecutive shared shingles, and winnowing
+    // must select the same minimal hash from the fully-shared window in
+    // both documents. Planted: a 12-token passage inside otherwise-disjoint
+    // vocabularies.
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val a = "aa bb cc dd ee ff " + shared + " gg hh ii jj"
+    val b = "zz yy xx ww vv " + shared + " uu tt ss rr qq"
+    val c = "mm nn oo pp qq2 rr2 ss2 tt2 uu2 vv2 ww2 xx2 yy2 zz2 ab cd ef gh"
+    val fps = graft.ops.TextOps
+      .winnowSelections(Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text"), w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fps(0L).intersect(fps(1L)).nonEmpty,
+      "documents sharing a 12-token passage must share a winnowing fingerprint")
+    assert(fps(0L).intersect(fps(2L)).isEmpty,
+      "disjoint-vocabulary documents must not share fingerprints")
+  }
 }

@@ -162,6 +162,36 @@ class PlanSpec extends AnyFunSuite {
       "batch×existing candidate generation must ride the (band, sig) equi key")
   }
 
+  test("tpch7: nation-filtered dims broadcast; fact join never a product") {
+    val p = plan("q_tpch7")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation-filtered supplier and customer edges should broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch12: orderkey equi-join with both date predicates pushed to the lineitem scan") {
+    val p = plan("q_tpch12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      "ship-date window not pushed into the scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("banded near-dup: candidates ride the (band, bucket) equi key, never a product") {
+    val p = plan("q_embed_neardup2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band-OR candidate generation must stay an equi-join")
+  }
+
+  test("winnow_true: one hash shuffle on doc_id serves window, distinct, and aggregate") {
+    // The sliding-min window partitions by doc_id; the distinct over
+    // (doc_id, fp, selpos) and the per-doc aggregate both cluster on a
+    // superset key, so hashpartitioning(doc_id) must be reused — a second
+    // hash exchange means the selection pipeline re-shuffles the corpus.
+    val hs = hashShuffles("q_winnow_true")
+    assert(hs.size == 1 && hs.head.contains("doc_id"),
+      s"expected exactly one hash shuffle on doc_id, got $hs")
+  }
+
   test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -87,4 +87,31 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(top5 == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("OR-amplified bands recall a near-dup pair the single-bucket join misses") {
+    import spark.implicits._
+    // Planted pair: signs differ in TWO of the first 8 dims (both
+    // small-magnitude, so cosine stays ~0.999) and agree everywhere else.
+    // The single-projection join (bucket = signs of dims 1-8) puts them in
+    // buckets at hamming distance 2 -> missed; bands 1-3 (dims 9-32) match
+    // exactly -> the OR-amplified join must surface the pair. This is the
+    // recall amplification 1-(1-p^bits)^bands buys over p^bits.
+    val dim = 32
+    val base = Array.tabulate(dim)(i => if (i == 0 || i == 4) 0.05f else 0.5f)
+    val near = Array.tabulate(dim)(i => if (i == 0 || i == 4) -0.05f else 0.5f)
+    val rnd = new scala.util.Random(17)
+    val noise = (10L until 60L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val emb = (Seq((0L, base), (1L, near)) ++ noise).toDF("vec_id", "embedding")
+    val single = Similarity.embedNearDupPairs(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.embedNearDupBanded(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((0L, 1L)),
+      "test premise broken: the single-bucket join should miss a hamming-2 pair")
+    assert(banded.contains((0L, 1L)),
+      "banded OR-amplification must recall the pair via its matching later bands")
+    // Band 0 IS the single projection, so banded candidates are a superset:
+    // anything the single-bucket join verified must also survive the bands.
+    assert(single.subsetOf(banded))
+  }
 }

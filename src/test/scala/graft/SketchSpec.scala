@@ -61,4 +61,52 @@ class SketchSpec extends AnyFunSuite {
         s"p95 approx $p95a vs exact $p95e for $st")
     }
   }
+
+  test("Misra-Gries: candidate set covers every true heavy hitter under any partition layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val K = 800
+    val bgs = Tables(spark, sf, "documents")
+      .select(explode(ops.Dedup.shingles(col("text"), n = 2)).as("bg"))
+    val total = bgs.count()
+    val exactHeavy = bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(K.toLong) > lit(total))
+      .collect().map(_.getString(0)).toSet
+    assert(exactHeavy.nonEmpty, "fixture must have above-threshold bigrams for the test to bite")
+    // The survivor-set guarantee (Agarwal et al. mergeability): every item
+    // with true count > n/(k+1) is in the summary REGARDLESS of how the
+    // partials were laid out or merged.
+    for (parts <- Seq(1, 3, 7)) {
+      val cands = bgs.repartition(parts).as[String].groupByKey(_ => 0)
+        .agg(new ops.Custom.MisraGries(K).toColumn.name("cands"))
+        .collect().head._2.toSet
+      assert(exactHeavy.subsetOf(cands),
+        s"at $parts partitions MG candidates miss ${exactHeavy.diff(cands).size} true heavy hitters")
+    }
+  }
+
+  test("Misra-Gries two-pass output equals the exact threshold query and is merge-invariant") {
+    import org.apache.spark.sql.functions._
+    def run() = ops.Custom.mgHeavyHitters(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    // The sketch's internal estimates are merge-order-dependent; the
+    // two-pass OUTPUT must not be — it equals the plain exact query.
+    val bgs = Tables(spark, d, "documents")
+      .select(explode(ops.Dedup.shingles(col("text"), n = 2)).as("bg"))
+    val total = bgs.count()
+    val exact = bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(800L) > lit(total))
+      .orderBy(col("cnt").desc, col("bg"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(first == exact, "two-pass MG output diverged from the exact threshold query")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(run() == first,
+        "heavy-hitter output changed under a different partial-merge layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
