@@ -170,6 +170,41 @@ object Custom {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Bloom filter as a typed Aggregator: the buffer is a fixed bit array
+    * (Array[Long] words), `reduce` sets `numHashes` bit positions derived
+    * from two pre-computed xxhash64 values by double hashing
+    * (idx_i = h1 + i·h2 mod m — Kirsch & Mitzenmacher, "Less Hashing, Same
+    * Performance"), and `merge` is a word-wise OR — so the sketch partial-
+    * aggregates map-side and is a deterministic, merge-order-independent
+    * function of the input set. The membership probe is expressed with
+    * BUILT-IN column functions over the same (h1, h2) (element_at + getbit),
+    * keeping the probe side codegen'd — no UDF on the 100 TB side. */
+  final class BloomBits(numBits: Int, numHashes: Int)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    require(numBits % 64 == 0)
+    override def zero: Array[Long] = new Array[Long](numBits / 64)
+    override def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
+      var i = 0
+      while (i < numHashes) {
+        // Floor-mod matches Spark's pmod on the probe side.
+        val idx = java.lang.Math.floorMod(in._1 + i * in._2, numBits.toLong).toInt
+        b(idx >> 6) |= (1L << (idx & 63))
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Heavy-hitter bigrams via the production two-pass pattern: pass 1 runs
     * the MG sketch (one scan, map-side partial summaries, ≤ k-row result);
     * pass 2 re-counts ONLY the ≤ k candidates exactly and applies the exact

@@ -39,6 +39,31 @@ object TextOps {
         (col("n_chars").cast("double") / size(tokens(col("text")))).as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pretokenization counts: contractions, space-prefixed
+    * letter runs, space-prefixed digit runs, punctuation runs, whitespace
+    * runs (Radford et al. 2019 §2.2's regex, ported minus lookahead so the
+    * SAME pattern runs under both Java regex and RE2 — both engines use
+    * leftmost, first-alternative-preference matching, so the piece split is
+    * identical). This is the token-budget estimator a training pipeline
+    * runs before the real BPE merge table exists: a pure per-row map at
+    * read bandwidth, prunable to (doc_id, text). */
+  private val BpePattern =
+    "'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  val tokenCount: Q = (s, d) => {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    // Whitespace runs are structure, not content: exclude them from the
+    // billable-piece count the way a real tokenizer folds them into the
+    // following piece's leading space.
+    val content = filter(pieces, p => !p.rlike("^\\s+$"))
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("int").as("ws_tokens"),
+        size(content).cast("int").as("bpe_pieces"),
+        (col("n_chars").cast("double") / size(content)).as("chars_per_piece"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: stopword ratio + lexical diversity (distinct-token
     * ratio). Low-diversity / stopword-heavy docs are the classic filter
     * targets in a pretraining pipeline. */
@@ -90,6 +115,60 @@ object TextOps {
       .join(canon, Seq("fp"), "left_anti")
       .select("doc_id", "fp", "batch_dups")
       .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered incremental exact dedup — [[dedupIncremental]] with
+    * the anti-join shuffle cut by a Bloom screen: a [[Custom.BloomBits]]
+    * sketch of the canonical fingerprint set broadcasts to the batch side,
+    * rows the filter rules out ("definitely not in the corpus") are emitted
+    * as novel WITHOUT touching the anti-join, and only the maybe-present
+    * remainder — true dups plus the false-positive fraction — pays the
+    * shuffle. The final result is EXACTLY the plain anti-join's output at
+    * any false-positive rate (FPs are resolved by the join; true negatives
+    * are correct by the Bloom's one-sided guarantee), so the oracle is the
+    * same SQL as q_dedup_incremental. The probe is built-in column ops
+    * (element_at + getbit over the broadcast word array) — codegen'd, no
+    * UDF on the batch side. At 100 TB a single 128 KB bloom doesn't hold a
+    * 10^11-row canonical store: partition the store by fp range and keep
+    * one right-sized bloom per bucket next to the bucketed canonical table
+    * (the probe picks its bloom by the same fp bucketing), or size m to the
+    * daily batch's candidate set instead. */
+  val dedupBloom: Q = (s, d) => dedupBloomSized(1 << 20, 3)(s, d)
+
+  /** [[dedupBloom]] with the sketch geometry exposed: DedupSpec runs this
+    * with M small enough to force a massive false-positive rate and asserts
+    * the output is STILL identical — the one-sided-error invariant that
+    * makes the bloom safe to deploy at any sizing. */
+  def dedupBloomSized(M: Int, K: Int): Q = (s, d) => {
+    import s.implicits._
+    // Both hashes fold to 31 bits BEFORE any combination: h1 + 2·h2 then
+    // tops out below 2^33, so the ANSI-mode overflow check can never fire,
+    // and the build (JVM floorMod) and probe (SQL pmod) sides combine the
+    // exact same folded values.
+    val fps = Tables(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+        pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(2L)).as("b"))
+      .withColumn("h1", pmod(xxhash64(col("fp")), lit(1L << 31)))
+      .withColumn("h2", pmod(xxhash64(col("fp"), lit(1)), lit(1L << 31)))
+    val canon = fps.filter(col("b") === 0).select("fp").distinct()
+    val bloom = fps.filter(col("b") === 0).select(col("h1"), col("h2"))
+      .as[(Long, Long)]
+      .select(new Custom.BloomBits(M, K).toColumn.name("bloom"))
+    val batch = fps.filter(col("b") === 1)
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dups"),
+        first(col("h1")).as("h1"), first(col("h2")).as("h2"))
+      .crossJoin(broadcast(bloom))
+    val mightContain = (0 until K).map { i =>
+      expr(s"getbit(element_at(bloom, CAST(pmod(h1 + ${i}L * h2, ${M}L) DIV 64 AS INT) + 1), " +
+        s"CAST(pmod(h1 + ${i}L * h2, ${M}L) % 64 AS INT)) = 1")
+    }.reduce(_ && _)
+    val definitelyNovel = batch.filter(!mightContain)
+      .select("doc_id", "fp", "batch_dups")
+    val maybe = batch.filter(mightContain)
+      .join(canon, Seq("fp"), "left_anti")
+      .select("doc_id", "fp", "batch_dups")
+    definitelyNovel.union(maybe).orderBy("doc_id")
   }
 
   /** Winnowing-style document fingerprints: rolling word-3-gram hashes,
@@ -459,9 +538,11 @@ object TextOps {
     "q_wordcount" -> wordcount,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_bloom" -> dedupBloom,
     "q_pii_scrub" -> piiScrub,
     "q_contamination" -> contamination,
     "q_text_stats" -> textStats,
+    "q_token_count" -> tokenCount,
     "q_text_quality" -> textQuality,
     "q_lang_stats" -> langStats,
     "q_fingerprint" -> fingerprint,
@@ -503,10 +584,14 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b FROM documents), sh AS (SELECT doc_id, b, unnest(${Dedup.ShinglesSql}) AS sh FROM t), f AS (SELECT DISTINCT doc_id, b, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh WHERE ('0x' || substr(md5(sh), 1, 15))::BIGINT % 8 = 0) SELECT a.doc_id AS bench_id, c.doc_id AS corpus_id, CAST(count(*) AS BIGINT) AS n_shared FROM f a JOIN f c ON a.h = c.h WHERE a.b = 0 AND c.b <> 0 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_pii_scrub" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails, CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls, CAST(len(regexp_extract_all(text, '\d{3}[- ]\d{3}[- ]\d{4}')) AS INTEGER) AS n_phones, md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g'), '\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g')) AS scrubbed_fp FROM documents ORDER BY doc_id""",
+    "q_dedup_bloom" ->
+      """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
     "q_dedup_incremental" ->
       """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens, n_chars, CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS chars_per_token FROM documents ORDER BY doc_id""",
+    "q_token_count" ->
+      """WITH p AS (SELECT doc_id, n_chars, str_split(text, ' ') AS ws, list_filter(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'), x -> NOT regexp_matches(x, '^\s+$')) AS pieces FROM documents) SELECT doc_id, CAST(len(ws) AS INTEGER) AS ws_tokens, CAST(len(pieces) AS INTEGER) AS bpe_pieces, CAST(n_chars AS DOUBLE) / len(pieces) AS chars_per_piece FROM p ORDER BY doc_id""",
     "q_text_quality" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER) AS stop_cnt, CAST(len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) / len(str_split(text, ' ')) AS stop_ratio, CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE) / len(str_split(text, ' ')) AS distinct_ratio FROM documents ORDER BY doc_id""",
     "q_lang_stats" ->

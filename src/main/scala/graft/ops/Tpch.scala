@@ -210,6 +210,55 @@ object Tpch {
       .orderBy("l_linestatus")
   }
 
+  /** Q6 shape — forecast revenue change: pure scan-filter-aggregate with a
+    * three-way range predicate, no join at all. The entire predicate pushes
+    * into the parquet scan (row-group skipping on shipdate/discount/quantity
+    * min-max stats), so at 100 TB this reads only the row groups of one
+    * ship-year — the canonical "pushdown is the whole query" benchmark. */
+  val tpch6: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24.0)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Q14 shape — promotion-effect ratio: lineitem⋈part with a conditional
+    * numerator. The part dim broadcasts; the percentage is computed from the
+    * two ROUNDED sums (identical doubles in both engines) so the ratio can
+    * never flip on summation order. */
+  val tpch14: Q = (s, d) => {
+    val pa = Tables(s, d, "part").select("p_partkey", "p_type")
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-06-01") && col("l_shipdate") < ts("1997-09-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4).as("promo_pct"))
+  }
+
+  /** Q19 shape — discounted revenue under an OR-of-ANDs predicate (three
+    * brand/size/quantity bands). The join key equality plus the whole
+    * disjunction sit in ONE join condition; Catalyst extracts the
+    * common `l_partkey = p_partkey` equi-key (broadcast hash join, not a
+    * nested loop) and pushes the per-side conjuncts
+    * (`p_size >= 1`, quantity bounds) down into each scan. */
+  val tpch19: Q = (s, d) => {
+    val pa = Tables(s, d, "part").select("p_partkey", "p_brand", "p_size")
+    val li = Tables(s, d, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val band = (brand: String, qlo: Double, qhi: Double, smax: Int) =>
+      col("p_brand") === brand && col("l_quantity") >= qlo && col("l_quantity") <= qhi &&
+        col("p_size") >= 1 && col("p_size") <= smax
+    li.join(broadcast(pa), col("l_partkey") === col("p_partkey") &&
+        (band("Brand#1", 1, 11, 5) || band("Brand#2", 10, 20, 10) || band("Brand#3", 20, 30, 15)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** One-pass column profile (the data-quality screening scan every
     * pipeline runs before training ingestion): row count, per-column
     * min/max/rounded-sum, null count, exact distinct. */
@@ -229,6 +278,9 @@ object Tpch {
     "q_tpch7" -> tpch7,
     "q_tpch10" -> tpch10,
     "q_tpch12" -> tpch12,
+    "q_tpch6" -> tpch6,
+    "q_tpch14" -> tpch14,
+    "q_tpch19" -> tpch19,
     "q_tpch17" -> tpch17,
     "q_tpch18" -> tpch18,
     "q_salted_join" -> saltedJoin,
@@ -244,6 +296,12 @@ object Tpch {
       """SELECT supp_nation, cust_nation, l_year, revenue FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3) t ORDER BY supp_nation, cust_nation, l_year""",
     "q_tpch12" ->
       """SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_tpch6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""",
+    "q_tpch14" ->
+      """WITH a AS (SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00') SELECT promo_revenue, total_revenue, round(100.0 * promo_revenue / total_revenue, 4) AS promo_pct FROM a""",
+    "q_tpch19" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5) OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10) OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
     "q_tpch10" ->
       """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, c_acctbal, n_name FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_tpch17" ->
