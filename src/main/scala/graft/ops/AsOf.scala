@@ -53,6 +53,47 @@ object AsOf {
       .drop("_side", wrapped, "_matched")
   }
 
+  /** NATIVE as-of join — the same semantics as [[asofJoin]], but as a
+    * first-class Catalyst operator ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfJoinExec]] via [[graft.plans.GraftStrategy]],
+    * registered through `spark.sql.extensions`): builder-contract
+    * preference (c), demonstrated on the one operator in the surface whose
+    * composed form costs a union + window over BOTH sides. The native plan
+    * shuffles each side once on the key, sorts by (key, time), and streams
+    * a single-pass merge with one retained row of state — no union blow-up,
+    * no window buffering, and the right side carries ONLY its own columns.
+    *
+    * Both inputs must expose resolved columns named by the caller; the
+    * right side's columns must not collide with the left's (rename before
+    * calling — aliasing also gives the self-join case fresh exprIds).
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
+                     rightKey: String, leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime)))
+  }
+
+  /** [[purchaseAsofSignup]] re-expressed on the native operator — same
+    * output, same DuckDB oracle, different (better) physical plan. */
+  val purchaseAsofSignupNative: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    asofJoinNative(purchases, signups, "user_id", "s_user_id", "ts", "signup_ts")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value"), col("signup_ts"))
+      .orderBy("event_id")
+  }
+
   /** Each purchase matched to the user's latest signup at-or-before it. */
   val purchaseAsofSignup: Q = (s, d) => {
     val ev = Tables(s, d, "events")
@@ -68,10 +109,13 @@ object AsOf {
 
   val queries: Map[String, Q] = Map(
     "q_asof_join" -> purchaseAsofSignup,
+    "q_asof_native" -> purchaseAsofSignupNative,
   )
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
+    "q_asof_native" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
   )
 }

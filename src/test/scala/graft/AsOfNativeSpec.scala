@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native Catalyst as-of join ([[graft.plans.AsOfJoinExec]]): semantic
+  * equivalence with the composed union+window variant (which is itself
+  * DuckDB-ASOF-oracle-checked), plan shape (one exchange + sort per side,
+  * no window, no union), and the merge edge cases. */
+class AsOfNativeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("native as-of join equals the composed union+window as-of join") {
+    val composed = ops.AsOf.purchaseAsofSignup(spark, sf).collect().toSeq
+    val native = ops.AsOf.purchaseAsofSignupNative(spark, sf).collect().toSeq
+    assert(native == composed)
+  }
+
+  test("plan: AsOfJoinExec present; no Window, no Union; a shuffle and sort per side") {
+    val p = ops.AsOf.purchaseAsofSignupNative(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("AsOfJoin"), "native operator missing from the plan")
+    assert(!p.contains("Window"), "native plan must not fall back to the window composition")
+    assert(!p.contains("Union"), "native plan must not union the sides")
+    // Formatted mode numbers each operator once in the tree summary:
+    // 2 key shuffles (one per side) + 1 for the final orderBy, no more.
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 3,
+      "exactly one key shuffle per side (plus the output sort)")
+    assert("""\(\d+\) Sort""".r.findAllIn(p).size == 3, "both sides sorted on (key, time)")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      "left-side filter must still reach the parquet scan under the custom strategy")
+  }
+
+  test("optimizer rule: a filter above the join pushes into the scans") {
+    val base = {
+      val ev = Tables(spark, sf, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      ops.AsOf.asofJoinNative(purchases, signups, "user_id", "s_user_id", "ts", "signup_ts")
+    }
+    val filtered = base.filter(col("user_id") === 7L && col("value") > 0.0)
+    val p = filtered.queryExecution.explainString(FormattedMode)
+    // The left-only conjuncts (user_id, value) reach the left scan; the
+    // key conjunct mirrors to the right side as s_user_id = 7.
+    assert(p.contains("EqualTo(user_id,7)"), "key predicate must reach the left scan")
+    assert(p.contains("GreaterThan(value,0.0)"), "left predicate must reach the left scan")
+    assert("""EqualTo\(user_id,7\)""".r.findAllIn(p).size == 2,
+      "key predicate must ALSO reach the right scan (mirrored through the key equality)")
+    // And pushing must not change the result.
+    val expected = base.collect().filter(r =>
+      r.getLong(r.fieldIndex("user_id")) == 7L && r.getDouble(r.fieldIndex("value")) > 0.0).toSeq
+    assert(filtered.collect().toSeq == expected)
+  }
+
+  test("merge edges: ties match, pre-epoch lefts drop, stale candidates never leak") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 5L, "l-a"),   // matches r at t=5 (tie, >= semantics)
+      (1L, 9L, "l-b"),   // matches r at t=7 (latest <= 9)
+      (2L, 1L, "l-c"),   // before any right row for key 2 -> dropped
+      (2L, 8L, "l-d"),   // matches r at t=6
+      (3L, 9L, "l-e")    // key 3 has no right rows at all; candidate from
+                         //  key 2 must NOT leak -> dropped
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 3L, "r1@3"), (1L, 5L, "r1@5"), (1L, 7L, "r1@7"),
+      (2L, 6L, "r2@6"), (2L, 40L, "r2@40")
+    ).toDF("rk", "rt", "rtag")
+    val out = ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rtag").as[(String, String)].collect().toMap
+    assert(out == Map("l-a" -> "r1@5", "l-b" -> "r1@7", "l-d" -> "r2@6"))
+  }
+
+  test("null keys and times never match") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Some(5L), "ok"), (None, Some(5L), "nullkey"),
+      (Some(1L), None, "nulltime")).toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(1L), "r"), (None, Some(0L), "rnullk"),
+      (Some(1L), None, "rnullt")).toDF("rk", "rt", "rtag")
+    val out = ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rtag").as[(String, String)].collect().toSeq
+    assert(out == Seq(("ok", "r")))
+  }
+}
