@@ -70,6 +70,16 @@ object AsOf {
   def asofJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
                      rightKey: String, leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
+    // Belt-and-braces for sessions built WITHOUT spark.sql.extensions (a
+    // foreign driver session): the public `experimental` hooks accept the
+    // same strategy/rule post-construction. Idempotent; the extensions
+    // path stays the production registration.
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsOfJoin
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
