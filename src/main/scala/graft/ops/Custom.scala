@@ -205,6 +205,70 @@ object Custom {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan, "An Improved Data Stream
+    * Summary") as a typed Aggregator: a depth×width counter matrix; each
+    * item increments one cell per row at position (h1 + i·h2) mod width;
+    * the point estimate is the min over rows — an upper bound on the true
+    * count that overshoots only on collisions. Unlike Misra-Gries, the
+    * merge (element-wise addition) is commutative and associative, so the
+    * whole sketch — not just a survivor set — is a deterministic function
+    * of the input multiset under ANY merge tree, which makes point
+    * estimates exactly mirrorable in DuckDB SQL. Memory is a fixed
+    * depth·width longs regardless of cardinality: the 100 TB trade vs the
+    * exact groupBy is O(d·w) state for ε = e/w overcount at δ = e^-d. */
+  final class CountMin(depth: Int, width: Int)
+    extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
+      var i = 0
+      while (i < depth) {
+        b(i * width + java.lang.Math.floorMod(in._1 + i * in._2, width.toLong).toInt) += 1
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** CMS point estimates for the corpus's top-20 tokens next to their exact
+    * counts. Hashes fold to 31 bits ([[Dedup.portableHash]] twice, second
+    * salted) so h1 + 3·h2 < 2^33 — no ANSI overflow, and DuckDB computes
+    * the identical cells. The probe side is built-ins only (element_at +
+    * least over the broadcast matrix); est >= cnt always (pinned in
+    * SketchSpec with merge invariance). */
+  val cmsFreq: Q = (s, d) => {
+    import s.implicits._
+    val D = 4
+    val W = 1024
+    val fold = lit(1L << 31)
+    def hashed(dfTok: org.apache.spark.sql.Column) = Seq(
+      pmod(Dedup.portableHash(dfTok), fold).as("h1"),
+      pmod(Dedup.portableHash(concat(dfTok, lit("#2"))), fold).as("h2"))
+    val toks = Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cms = toks.select(hashed(col("tok")): _*)
+      .as[(Long, Long)]
+      .select(new CountMin(D, W).toColumn.name("cms"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+      .select(Seq(col("tok"), col("cnt")) ++ hashed(col("tok")): _*)
+    val est = least((0 until D).map { i =>
+      expr(s"element_at(cms, CAST(pmod(h1 + ${i}L * h2, ${W}L) + ${i * W}L + 1L AS INT))")
+    }: _*)
+    top.crossJoin(broadcast(cms))
+      .select(col("tok"), col("cnt"), est.as("cms_est"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** Heavy-hitter bigrams via the production two-pass pattern: pass 1 runs
     * the MG sketch (one scan, map-side partial summaries, ≤ k-row result);
     * pass 2 re-counts ONLY the ≤ k candidates exactly and applies the exact
@@ -253,6 +317,7 @@ object Custom {
     "q_udf_vowels" -> udfVowels,
     "q_kmv_distinct" -> udafKmv,
     "q_heavy_hitters" -> mgHeavyHitters,
+    "q_cms_freq" -> cmsFreq,
   )
 
   val oracle: Map[String, String] = Map(
@@ -264,6 +329,8 @@ object Custom {
       """SELECT doc_id, CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS vowels FROM documents ORDER BY doc_id""",
     "q_heavy_hitters" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), bg AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(0, len(toks) - 1), i -> concat_ws(' ', toks[i+1], toks[i+2])) ELSE [text] END) AS bg FROM t) SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY bg HAVING count(*) * 800 > (SELECT count(*) FROM bg) ORDER BY cnt DESC, bg""",
+    "q_cms_freq" ->
+      """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents), h AS (SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483648 AS h1, ('0x' || substr(md5(tok || '#2'), 1, 15))::BIGINT % 2147483648 AS h2 FROM toks), cells AS (SELECT i, (h1 + i * h2) % 1024 AS pos, CAST(count(*) AS BIGINT) AS c FROM h CROSS JOIN (SELECT unnest(range(4)) AS i) GROUP BY 1, 2), top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20), th AS (SELECT tok, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483648 AS h1, ('0x' || substr(md5(tok || '#2'), 1, 15))::BIGINT % 2147483648 AS h2 FROM top) SELECT th.tok, th.cnt, min(cells.c) AS cms_est FROM th JOIN cells ON cells.pos = (th.h1 + cells.i * th.h2) % 1024 GROUP BY 1, 2 ORDER BY cnt DESC, tok""",
     "q_kmv_distinct" ->
       """WITH hh AS (SELECT DISTINCT l_returnflag, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM lineitem), r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS nd FROM hh) SELECT l_returnflag, CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS kmv_distinct FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
   )

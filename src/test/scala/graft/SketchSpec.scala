@@ -109,4 +109,26 @@ class SketchSpec extends AnyFunSuite {
         "heavy-hitter output changed under a different partial-merge layout")
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("count-min: estimates never undercount, and the matrix is merge-invariant") {
+    import org.apache.spark.sql.functions._
+    def run() = ops.Custom.cmsFreq(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val first = run()
+    assert(first.size == 20)
+    // One-sided error: a CMS point estimate is >= the true count, always.
+    assert(first.forall { case (_, cnt, est) => est >= cnt },
+      s"CMS undercounted: ${first.filter { case (_, c, e) => e < c }}")
+    // And at depth 4 / width 1024 over this vocabulary the top tokens
+    // should mostly estimate exactly (collisions add, never subtract).
+    assert(first.count { case (_, cnt, est) => est == cnt } >= 10,
+      "implausibly many collisions for this geometry")
+    // Element-wise-add merge makes the WHOLE matrix (hence every estimate)
+    // independent of the partial-aggregation layout.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(run() == first, "CMS estimates changed under a different merge layout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }
