@@ -524,8 +524,46 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Corpus-duplicated n-gram coverage (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+    * diagnostic at fixed n): for every document, how many of its DISTINCT
+    * token 8-grams also occur in at least one OTHER document, and the
+    * covered fraction. This is the pre-training screen for cross-document
+    * boilerplate that survives both exact and near dedup (shared spans
+    * inside otherwise-distinct pages).
+    *
+    * Shape — never all-pairs: distinct (doc, gram-hash) pairs → ONE window
+    * count per gram-hash → per-doc aggregate. Three shuffles, each on a
+    * fixed-width key; the shuffle carries the 60-bit [[Dedup.portableHash]]
+    * of each gram, never the 8-token string — at 100 TB that's the
+    * difference between shuffling ~8× the corpus text and 8 bytes/gram.
+    * Cross-doc frequency is a window count over the distinct pairs, NOT a
+    * self-join (the q_tfidf rationale: one pass, no subtree duplication).
+    * Docs with fewer than 8 tokens have no 8-grams and drop out (mirrored
+    * by the oracle's empty range()). */
+  val dupNgrams: Q = (s, d) => {
+    val n = 8
+    val toks = tokens(col("text"))
+    val pairs = Tables(s, d, "documents")
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("g"))
+      .select(col("doc_id"), Dedup.portableHash(col("g")).as("gh"))
+      .distinct()
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    pairs.withColumn("docfreq", count(lit(1)).over(byGram))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pack" -> pack,
+    "q_dup_ngrams" -> dupNgrams,
     "q_chunk" -> chunk,
     "q_stratified" -> stratified,
     "q_quality_filter" -> qualityFilter,
@@ -552,6 +590,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dup_ngrams" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents), g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7], toks[i+8]))) AS g FROM t), p AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g), w AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS docfreq FROM p) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams, round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac FROM w GROUP BY doc_id ORDER BY doc_id""",
     "q_pack" ->
       """WITH t AS (SELECT doc_id, lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT lang, n_tokens, CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin FROM t) SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_chunk" ->

@@ -259,6 +259,176 @@ object Tpch {
         count(lit(1)).as("n_items"))
   }
 
+  /** Q4 shape — order-priority checking: orders of one quarter with at
+    * least one line shipped after the order date (the fixture's analog of
+    * Q4's commit-vs-receipt lateness — the schema has no
+    * l_commitdate/l_receiptdate), counted per priority. The EXISTS becomes
+    * a left-semi join whose condition mixes the orderkey equi-key with a
+    * CORRELATED non-equi comparison (l_shipdate > o_orderdate): Catalyst
+    * keeps the equi-part as the hash key and evaluates the residual inside
+    * the join, so the fact⋈fact edge still shuffles exactly once on
+    * orderkey, and the quarter filter pushes into the orders scan. */
+  val tpch4: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q13 shape — customer order-count distribution: how many customers
+    * placed exactly k orders, INCLUDING k=0, excluding one priority class.
+    * Shape order matters at scale: aggregate orders by custkey FIRST (one
+    * shuffle over the fact alone, map-side combined), then left-join the
+    * customer dim to the aggregated counts and coalesce the missing ones to
+    * 0 — never join raw customers into the raw fact. The second groupBy runs
+    * over ≤|customer| rows. */
+  val tpch13: Q = (s, d) => {
+    val perCust = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    Tables(s, d, "customer").select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q15 shape — top supplier: per-supplier revenue for one quarter, then
+    * the supplier(s) achieving the maximum. The revenue view is one fact
+    * shuffle; its max is a 1-row aggregate BROADCAST back (not a window
+    * over the whole view — no second full-view sort/shuffle), and the
+    * supplier dim broadcasts. Revenue is rounded before the max so the
+    * argmax can never flip on float summation order in either engine. */
+  val tpch15: Q = (s, d) => {
+    val rev = Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q16 shape — parts/supplier relationship: distinct suppliers per
+    * (brand, type, size), excluding one brand and a "complaints" supplier
+    * set (TPC-H's NOT IN subquery → a left-anti join against the
+    * negative-balance suppliers, the fixture's complaint analog; no
+    * partsupp table, so the part↔supplier edge comes from lineitem).
+    * countDistinct after an anti-join: the anti side is a tiny broadcast,
+    * the distinct-aggregate shuffles once on the group keys. */
+  val tpch16: Q = (s, d) => {
+    val bad = Tables(s, d, "supplier")
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    val pa = Tables(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#1")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  /** Q22 shape — global sales opportunity: customers with above-average
+    * (positive-mean) balance and no RECENT orders (none since 1998 — the
+    * fixture's lapsed-customer analog of Q22's "no orders in 7 years"),
+    * per nation. The scalar AVG subquery is a 1-row broadcast cross join;
+    * the NOT EXISTS is a left-anti join against the date-filtered orders
+    * custkey set — broadcastable while the filtered key set fits, shuffling
+    * both sides on custkey once it doesn't, and the date predicate
+    * partition-prunes the orders scan when orders are date-partitioned.
+    * The mean is rounded to 2 decimals before the
+    * comparison so the threshold is the identical double in both engines
+    * (fixture balances are full-precision doubles, so a tie against the
+    * rounded mean has ~0 probability — and a tie would exclude the row
+    * identically in both engines anyway). */
+  val tpch22: Q = (s, d) => {
+    val cust = Tables(s, d, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"))
+    val recent = Tables(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1998-01-01")).select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Q20 shape — potential part promotion: suppliers who moved a
+    * significant volume (sum qty > 90) of any "bolt" part, as a semi-join
+    * CHAIN driven by an aggregate: part-name filter → broadcast into the
+    * fact → (partkey, suppkey) volume aggregate → HAVING → the distinct
+    * supplier set semi-joins the supplier dim. The supplier dim is the
+    * probe side of a left-semi whose build is an aggregated subquery —
+    * TPC-H's nested-IN pattern with the correlation flattened into one
+    * fact shuffle on the composite key. The build is explicitly broadcast:
+    * post-aggregation Catalyst has no size estimate (it assumes big and
+    * picks sort-merge), but the distinct-supplier set is bounded by the
+    * supplier dim's cardinality by construction, so it always fits. */
+  val tpch20: Q = (s, d) => {
+    val bolts = Tables(s, d, "part")
+      .filter(col("p_name").contains("bolt")).select("p_partkey")
+    val vol = Tables(s, d, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 90L)
+      .select("l_suppkey").distinct()
+    Tables(s, d, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+      .join(broadcast(vol), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q21 shape — suppliers who kept the order waiting: for completed ('F')
+    * multi-supplier orders, the ONE supplier whose lines shipped ≥90 days
+    * after the order date while every other supplier's shipped sooner (the
+    * fixture's receipt/commit-date analog). TPC-H's doubly-quantified
+    * correlated query — EXISTS(another supplier) AND NOT EXISTS(another
+    * LATE supplier) — decorrelated to per-order set aggregates: ONE fact
+    * shuffle on orderkey builds (distinct-supplier count, late-supplier
+    * set), the blame filter is `n_supp >= 2 AND size(late_set) == 1`, and
+    * the culprit explodes out of the 1-element set. No lineitem self-join
+    * anywhere: at 100 TB that's one fact shuffle instead of three. The
+    * DuckDB oracle runs the ACTUAL quantifiers (EXISTS / NOT EXISTS), so a
+    * hash match proves the decorrelation itself, not just the arithmetic. */
+  val tpch21: Q = (s, d) => {
+    val ord = Tables(s, d, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    val li = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perOrder = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp",
+        when(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          col("l_suppkey")))
+      .groupBy("o_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        collect_set(col("late_supp")).as("late_supps"))
+      .filter(col("n_supp") >= 2 && size(col("late_supps")) === 1)
+    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_name")
+    perOrder.select(col("late_supps").getItem(0).as("culprit"))
+      .groupBy("culprit").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), col("culprit") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
   /** One-pass column profile (the data-quality screening scan every
     * pipeline runs before training ingestion): row count, per-column
     * min/max/rounded-sum, null count, exact distinct. */
@@ -274,7 +444,14 @@ object Tpch {
 
   val queries: Map[String, Q] = Map(
     "q_tpch3" -> tpch3,
+    "q_tpch4" -> tpch4,
     "q_tpch5" -> tpch5,
+    "q_tpch13" -> tpch13,
+    "q_tpch15" -> tpch15,
+    "q_tpch16" -> tpch16,
+    "q_tpch20" -> tpch20,
+    "q_tpch21" -> tpch21,
+    "q_tpch22" -> tpch22,
     "q_tpch7" -> tpch7,
     "q_tpch10" -> tpch10,
     "q_tpch12" -> tpch12,
@@ -288,6 +465,20 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (SELECT c_custkey, coalesce(n_orders, 0) AS c_count FROM customer LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1) o ON c_custkey = o_custkey) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch15" ->
+      """WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY 1) SELECT s_suppkey, s_name, total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey""",
+    "q_tpch16" ->
+      """SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand <> 'Brand#1' AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""",
+    "q_tpch20" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_name LIKE '%bolt%' GROUP BY l_partkey, l_suppkey HAVING sum(CAST(l_quantity AS BIGINT)) > 90) ORDER BY s_suppkey""",
+    "q_tpch21" ->
+      """SELECT s_suppkey, s_name, numwait FROM (SELECT l1.l_suppkey AS culprit, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey WHERE o_orderstatus = 'F' AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate >= o_orderdate + INTERVAL 90 DAY) GROUP BY 1) t JOIN supplier ON culprit = s_suppkey ORDER BY numwait DESC, s_suppkey LIMIT 25""",
+    "q_tpch22" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, round(sum(c_acctbal), 2) AS totacctbal FROM customer WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0) AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_tpch3" ->
       """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_tpch5" ->

@@ -192,6 +192,69 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle on doc_id, got $hs")
   }
 
+  test("tpch4: EXISTS stays a left-semi join; the quarter filter reaches the orders scan") {
+    val p = plan("q_tpch4")
+    assert(p.contains("LeftSemi"), "expected the EXISTS to plan as a left-semi join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "quarter filter not pushed to orders scan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the correlated l_shipdate > o_orderdate residual must ride the orderkey equi-key")
+  }
+
+  test("tpch13: the fact aggregates BEFORE the customer join — shuffles on custkey then count only") {
+    // Two hash exchanges: orders groupBy(o_custkey), then groupBy(c_count).
+    // A shuffle carrying customer columns into the raw fact would mean the
+    // join ran before the aggregation — the shape that dies at 100 TB.
+    val hs = hashShuffles("q_tpch13")
+    assert(hs.size == 2 && hs.exists(_.contains("o_custkey")) && hs.exists(_.contains("c_count")),
+      s"expected hash shuffles on o_custkey and c_count only, got $hs")
+  }
+
+  test("tpch15: the revenue view shuffles on suppkey; max and supplier edges broadcast") {
+    val hs = hashShuffles("q_tpch15")
+    assert(hs.nonEmpty && hs.forall(_.contains("l_suppkey")),
+      s"only the per-supplier aggregate may hash-shuffle, got $hs")
+    assert(plan("q_tpch15").contains("BroadcastHashJoin"),
+      "1-row max and supplier dim should broadcast into the view")
+  }
+
+  test("tpch16: part and complaint-supplier edges broadcast; never sort-merge at dim sizes") {
+    val p = plan("q_tpch16")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tpch20: aggregated-subquery semi chain — bolt parts broadcast, supplier probe is left-semi") {
+    val p = plan("q_tpch20")
+    assert(p.contains("LeftSemi"), "the IN-subquery must plan as a left-semi join")
+    assert(p.contains("BroadcastHashJoin"), "the name-filtered part set should broadcast into the fact")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tpch21: decorrelated to ONE pass over lineitem — exactly three table scans, no self-join") {
+    // The doubly-quantified EXISTS/NOT-EXISTS runs as per-order set
+    // aggregates; a lineitem self-join would show as a 4th/5th scan and
+    // triple the fact shuffle at scale.
+    val scans = "Scan parquet".r.findAllIn(physical("q_tpch21").toString).size
+    assert(scans == 3, s"expected scans of lineitem+orders+supplier only, got $scans")
+    assert(!plan("q_tpch21").contains("CartesianProduct"))
+  }
+
+  test("tpch22: recent-order date filter pushed into the orders scan under the anti join") {
+    val p = plan("q_tpch22")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date filter not pushed to orders scan")
+    assert(p.contains("LeftAnti"), "NOT EXISTS should plan as a left-anti join")
+  }
+
+  test("dup_ngrams: one documents scan; every shuffle carries the 60-bit gram hash, not text") {
+    assert(!plan("q_dup_ngrams").contains("CartesianProduct"))
+    val phys = physical("q_dup_ngrams").toString
+    assert("Scan parquet".r.findAllIn(phys).size == 1,
+      "cross-doc frequency must be a window count over one exploded scan, not a self-join")
+    val hs = hashShuffles("q_dup_ngrams")
+    assert(hs.forall(s => s.contains("gh") || s.contains("doc_id")),
+      s"shuffle keys must be the gram hash / doc id, got $hs")
+  }
+
   test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"),

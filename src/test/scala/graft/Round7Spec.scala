@@ -47,6 +47,23 @@ class Round7Spec extends AnyFunSuite {
     assert(items.forall { case (h1, h2) => contains(whole, h1, h2) })
   }
 
+  test("dup_ngrams: a planted shared 8-gram flags in BOTH docs; a unique doc reads 0") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared tail0 tail1 tail2"),
+      (1L, s"$shared other words entirely from here on"),
+      (2L, "totally unique words one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupng_").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.TextOps.dupNgrams(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) >= 1 && out(1L) >= 1,
+      "the shared 8-gram must count as corpus-duplicated in both docs")
+    assert(out(2L) == 0, "a unique doc must have zero duplicated grams")
+  }
+
   test("pretokenizer: piece counts reconstruct the text's non-space length") {
     // The BPE-ish pieces (with their leading spaces) plus whitespace runs
     // partition the text exactly: concatenating all matches restores it.
