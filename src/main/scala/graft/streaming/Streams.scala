@@ -50,6 +50,28 @@ object Streams {
       .select(col("p_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
   }
 
+  /** LEFT-OUTER watermarked stream-stream join — the "every purchase flows
+    * through, enriched when a signup exists" variant of
+    * [[purchasesAfterSignup]]. Outer stream-stream rows can only emit once
+    * the watermark PROVES no match can still arrive, so unmatched purchases
+    * surface with watermark delay rather than immediately; the interval
+    * condition bounds each side's state retention exactly as in the inner
+    * case (at scale: state ∝ 3h of events per side, never the stream
+    * history). */
+  def purchasesWithOptionalSignup(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups.select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("amount"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(s,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("s_ts"), col("p_ts"), col("amount"))
+  }
+
   /** Stream-static enrichment join: each micro-batch joins the small static
     * dimension, which Spark re-resolves and broadcasts per batch — no
     * streaming state at all, unlike a stream-stream join's watermarked
