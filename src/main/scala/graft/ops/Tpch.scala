@@ -370,6 +370,149 @@ object Tpch {
       .orderBy("c_nationkey")
   }
 
+  /** Q1 shape — pricing summary report: the canonical full-scan
+    * scan→partial-agg→final-agg with eight aggregates over two low-card
+    * keys. Quantities sum as exact longs; price sums round at 2 (sums of
+    * 2-decimal values — deterministic); the three averages are computed
+    * FROM the already-deterministic sums and counts (a single division),
+    * never via round(avg(...)), which would expose float summation order.
+    * At 100 TB this query is pure map-side combine: the shuffle carries
+    * ≤ |flag|×|status| rows per task. */
+  val tpch1: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        round(col("sum_qty").cast("double") / col("count_order"), 4).as("avg_qty"),
+        round(col("sum_base_price") / col("count_order"), 4).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q2 shape — minimum-cost supplier: for every small "bolt" part, the
+    * supplier with the LOWEST account balance among those who ever shipped
+    * it (the fixture's supplycost analog; the part↔supplier edge comes from
+    * lineitem since there's no partsupp). The correlated MIN subquery is an
+    * argmin as `min(struct(bal, suppkey))` — ONE map-side-combined shuffle
+    * on partkey, with the struct's lexicographic order breaking balance
+    * ties toward the smaller suppkey deterministically. The oracle computes
+    * the same argmin as a ranked window, so the hash match proves the
+    * struct-min ≡ window-rank equivalence. A window would also work here
+    * but costs a per-partition sort; the struct-min is the shape that
+    * scales. */
+  val tpch2: Q = (s, d) => {
+    val pa = Tables(s, d, "part")
+      .filter(col("p_name").contains("bolt") && col("p_size") < 10)
+      .select("p_partkey", "p_name", "p_size")
+    val supp = Tables(s, d, "supplier")
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val nat = Tables(s, d, "nation").select("n_nationkey", "n_name")
+    val edges = Tables(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val best = edges.groupBy(col("p_partkey").as("b_partkey"))
+      .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("b"))
+      .select(col("b_partkey"), col("b.s_suppkey").as("b_supp"))
+    edges.join(broadcast(best), col("p_partkey") === col("b_partkey") && col("s_suppkey") === col("b_supp"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("p_partkey", "p_name", "p_size", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(50)
+  }
+
+  /** Q8 shape — national market share: one nation's share of PROMO-part
+    * revenue sold to one region's customers, by order year. Both nation
+    * dims pre-filter-and-broadcast into customer/supplier before any fact
+    * edge; the share is a conditional sum over the SAME aggregate pass
+    * (never two passes over the fact), and the ratio is taken from the two
+    * ROUNDED sums so it can't flip on summation order. */
+  val tpch8: Q = (s, d) => {
+    val reg = Tables(s, d, "region").filter(col("r_name") === "ASIA")
+    val natC = Tables(s, d, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val cust = Tables(s, d, "customer")
+      .join(broadcast(natC), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val natS = Tables(s, d, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val supp = Tables(s, d, "supplier")
+      .join(broadcast(natS), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    val pa = Tables(s, d, "part").filter(col("p_type") === "PROMO").select("p_partkey")
+    val ord = Tables(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))), 2).as("nation_rev"),
+        round(sum(rev), 2).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        round(col("nation_rev") / col("total_rev"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q9 shape — product-line profit by nation and year: revenue minus a
+    * retail-price-based unit cost (the fixture's supplycost analog) for
+    * "bolt" parts, grouped by the supplier's nation and order year. The
+    * profit expression folds into ONE conditional-free aggregate over the
+    * two fact joins (lineitem⋈orders on orderkey is the only real
+    * shuffle); part and supplier⋈nation broadcast. */
+  val tpch9: Q = (s, d) => {
+    val pa = Tables(s, d, "part")
+      .filter(col("p_name").contains("bolt"))
+      .select("p_partkey", "p_retailprice")
+    val nat = Tables(s, d, "nation").select("n_nationkey", "n_name")
+    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderdate")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(0.1) * col("l_quantity")
+    Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(amount), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11 shape — important stock value: parts whose total lineitem value
+    * exceeds a FRACTION of the corpus-wide total — the HAVING-against-a-
+    * scalar-subquery pattern. The per-part aggregate is one fact shuffle;
+    * its grand total re-aggregates the (tiny) per-part view into one row
+    * that broadcasts back as a cross join. Both sides of the comparison
+    * derive from the SAME rounded per-part values, so the threshold is the
+    * identical double in both engines. (TPC-H scales the fraction by 1/SF
+    * for exactly the reason visible here: a fixed fraction of the total
+    * moves with corpus size while per-part values don't — 0.0006 ≈ 1.2× the
+    * mean part value at the correctness SF.) */
+  val tpch11: Q = (s, d) => {
+    val value = Tables(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice")), 2).as("value"))
+    val thr = value.agg((round(sum(col("value")), 2) * lit(0.0006)).as("thr"))
+    value.crossJoin(broadcast(thr))
+      .filter(col("value") > col("thr"))
+      .select("l_partkey", "value")
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
   /** Q20 shape — potential part promotion: suppliers who moved a
     * significant volume (sum qty > 90) of any "bolt" part, as a semi-join
     * CHAIN driven by an aggregate: part-name filter → broadcast into the
@@ -443,8 +586,13 @@ object Tpch {
         countDistinct(col("l_returnflag")).as("n_flags"))
 
   val queries: Map[String, Q] = Map(
+    "q_tpch1" -> tpch1,
+    "q_tpch2" -> tpch2,
     "q_tpch3" -> tpch3,
     "q_tpch4" -> tpch4,
+    "q_tpch8" -> tpch8,
+    "q_tpch9" -> tpch9,
+    "q_tpch11" -> tpch11,
     "q_tpch5" -> tpch5,
     "q_tpch13" -> tpch13,
     "q_tpch15" -> tpch15,
@@ -465,6 +613,16 @@ object Tpch {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_tpch1" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge, CAST(count(*) AS BIGINT) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY 1, 2) SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge, round(CAST(sum_qty AS DOUBLE) / count_order, 4) AS avg_qty, round(sum_base_price / count_order, 4) AS avg_price, count_order FROM a ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch2" ->
+      """SELECT p_partkey, p_name, p_size, s_suppkey, s_name, s_acctbal, n_name FROM (SELECT p_partkey, p_name, p_size, s_suppkey, s_name, s_acctbal, n_name, row_number() OVER (PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey) AS rk FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) e JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%bolt%' AND p_size < 10) t WHERE rk = 1 ORDER BY s_acctbal DESC, p_partkey LIMIT 50""",
+    "q_tpch8" ->
+      """WITH a AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, round(sum(CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS nation_rev, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE r_name = 'ASIA' AND p_type = 'PROMO' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) SELECT o_year, nation_rev, total_rev, round(nation_rev / total_rev, 4) AS mkt_share FROM a ORDER BY o_year""",
+    "q_tpch9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, round(sum(l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%bolt%' GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_tpch11" ->
+      """WITH v AS (SELECT l_partkey, round(sum(l_extendedprice), 2) AS value FROM lineitem GROUP BY 1) SELECT l_partkey, value FROM v WHERE value > (SELECT round(sum(value), 2) * 0.0006 FROM v) ORDER BY value DESC, l_partkey""",
     "q_tpch4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_tpch13" ->

@@ -192,6 +192,37 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle on doc_id, got $hs")
   }
 
+  test("tpch1: pure map-side-combined aggregation — one hash shuffle, date filter in the scan") {
+    val hs = hashShuffles("q_tpch1")
+    assert(hs.size == 1 && hs.head.contains("l_returnflag"),
+      s"expected one hash shuffle on the group keys, got $hs")
+    assert(plan("q_tpch1").contains("LessThanOrEqual(l_shipdate"),
+      "ship-date filter not pushed into the lineitem scan")
+  }
+
+  test("tpch2: correlated-min argmin broadcasts back — no sort-merge anywhere") {
+    val p = plan("q_tpch2")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "part, supplier, nation and the argmin set should all broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("tpch8/tpch9: every dim edge broadcasts; never a product") {
+    for (q <- Seq("q_tpch8", "q_tpch9")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"$q: dims must broadcast")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("tpch11: per-part value shuffles once on partkey; the grand total broadcasts back") {
+    val hs = hashShuffles("q_tpch11")
+    assert(hs.nonEmpty && hs.forall(_.contains("l_partkey")),
+      s"only the per-part aggregate may hash-shuffle, got $hs")
+    assert(plan("q_tpch11").contains("BroadcastNestedLoopJoin"),
+      "the 1-row threshold must broadcast as a cross join")
+  }
+
   test("tpch4: EXISTS stays a left-semi join; the quarter filter reaches the orders scan") {
     val p = plan("q_tpch4")
     assert(p.contains("LeftSemi"), "expected the EXISTS to plan as a left-semi join")
