@@ -224,8 +224,36 @@ object Relational {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): a month spine generated by
+    * recursion — anchor + step UNION ALL until the fixture's last order
+    * month — left-joined to per-month order counts, zero-filling empty
+    * months. The recursion itself is driver-cheap (~80 spine rows, one
+    * UNION ALL node per unrolled step); the fact side stays one
+    * map-side-combined groupBy, so at 100 TB the spine join is a broadcast
+    * of the spine, never a shuffle of the fact beyond its aggregate. The
+    * q_gapfill twin builds the same spine with `sequence()`; this is the
+    * SQL-standard-recursion route to it. */
+  val sqlRecursive: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        |)
+        |SELECT m, coalesce(cnt, CAST(0 AS BIGINT)) AS n_orders
+        |FROM months
+        |LEFT JOIN (SELECT date_trunc('MONTH', o_orderdate) AS mo,
+        |                  count(*) AS cnt
+        |           FROM orders_v GROUP BY 1) o
+        |  ON m = mo
+        |ORDER BY m""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sql_scalar_subquery" -> sqlScalarSubquery,
+    "q_sql_recursive" -> sqlRecursive,
     "q_flagship" -> flagship,
     "q_scan" -> scan,
     "q_scan_count" -> scanCount,
@@ -251,6 +279,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_sql_scalar_subquery" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_sql_recursive" ->
+      """WITH RECURSIVE months(m) AS (SELECT TIMESTAMP '1995-01-01 00:00:00' UNION ALL SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-08-01 00:00:00') SELECT m, coalesce(cnt, 0) AS n_orders FROM months LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS mo, CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1) o ON m = mo ORDER BY m""",
     "q_flagship" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice >= 250000.0 ORDER BY l_orderkey, l_linenumber, l_quantity, o_totalprice LIMIT 200 OFFSET 100""",
     "q_scan" ->

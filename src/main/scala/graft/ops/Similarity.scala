@@ -352,7 +352,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product-quantization encoder (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * 64-dim embedding into M=4 contiguous 16-dim subspaces and quantize
+    * each subvector to its nearest of K=16 codewords, emitting a 4-symbol
+    * code per vector — the memory layout behind IVF-PQ indexes (64 floats →
+    * 4 bytes, 64× compression at K=256; the demo's K=16 keeps the codebook
+    * fixture-deterministic: the 16 lowest-id vectors' subvectors, the same
+    * convention as q_ivf_ann's centroids).
+    *
+    * Shape: the codebook (M×K×16 floats) BROADCASTS; encoding is one
+    * map-side explode into M subvectors, a broadcast join on the subspace
+    * id, and a map-side-combined argmin via `min_by(code, struct(d2,
+    * code))` — smaller code wins exact-distance ties in both engines. At
+    * 100 TB encoding is read-bandwidth; the oracle mirrors the argmin with
+    * a ranked window over the identical distance expression, and the
+    * OUTPUT is pure integers, so the check is exact. */
+  val pqEncode: Q = (s, d) => {
+    val M = 4; val sub = 16; val K = 16
+    val subStructs = (e: String) =>
+      s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice($e, m * $sub + 1, $sub) AS v))"
+    val cb = Tables(s, d, "embeddings").orderBy("vec_id").limit(K)
+      .select(col("vec_id").cast("int").as("code"), toDouble(col("embedding")).as("ce"))
+      .select(col("code"), explode(expr(subStructs("ce"))).as("x"))
+      .select(col("x.m").as("m"), col("code"), col("x.v").as("cw"))
+    val sv = Tables(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), explode(expr(subStructs("e"))).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.v").as("sv"))
+    val scored = sv.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        expr("aggregate(zip_with(sv, cw, (x, c) -> (x - c) * (x - c)), 0.0D, (a, b) -> a + b)").as("d2"))
+    scored.groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("code"))).as("c0"),
+        max(when(col("m") === 1, col("code"))).as("c1"),
+        max(when(col("m") === 2, col("code"))).as("c2"),
+        max(when(col("m") === 3, col("code"))).as("c3"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pq_encode" -> pqEncode,
     "q_embed_norm" -> embedNorm,
     "q_ivf_kmeans" -> ivfKmeans,
     "q_ivf_ann" -> ivfAnn,
@@ -381,6 +424,11 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "q_embed_norm" ->
       """SELECT vec_id, label, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) >= 0.5 AS usable FROM embeddings ORDER BY vec_id""",
+    // PQ codes are pure integers; the only float sensitivity is the per-
+    // subspace argmin, mirrored as a ranked window over the identical
+    // double-exact (x-c)^2 sums with the same (d2, code) tie order.
+    "q_pq_encode" ->
+      """WITH ms AS (SELECT unnest(range(0, 4)) AS m), cb AS (SELECT m, code, list_transform(list_slice(ce, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS cw FROM (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 16) b CROSS JOIN ms), sv AS (SELECT vec_id, m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS sv FROM embeddings CROSS JOIN ms), scored AS (SELECT vec_id, s.m, code, list_sum(list_transform(range(1, 17), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d2 FROM sv s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM scored) r WHERE rn = 1) SELECT vec_id, CAST(max(CASE WHEN m = 0 THEN code END) AS INTEGER) AS c0, CAST(max(CASE WHEN m = 1 THEN code END) AS INTEGER) AS c1, CAST(max(CASE WHEN m = 2 THEN code END) AS INTEGER) AS c2, CAST(max(CASE WHEN m = 3 THEN code END) AS INTEGER) AS c3 FROM codes GROUP BY vec_id ORDER BY vec_id""",
     // IVF is deterministic given fixed centroids, so it IS oracle-expressible;
     // DuckDB's float32 cosine vs our double accumulation could only diverge at
     // argmax/probe/top-k boundaries, and the fixture margins are >1e-4 (checked

@@ -286,6 +286,14 @@ class PlanSpec extends AnyFunSuite {
       s"shuffle keys must be the gram hash / doc id, got $hs")
   }
 
+  test("pq_encode: the codebook broadcasts; argmin shuffles carry only (vec_id, m)") {
+    val p = plan("q_pq_encode")
+    assert(p.contains("BroadcastHashJoin"), "the M×K codebook must broadcast into the subvector stream")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    val hs = hashShuffles("q_pq_encode")
+    assert(hs.forall(_.contains("vec_id")), s"shuffles must key on vec_id, got $hs")
+  }
+
   test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -64,6 +64,21 @@ class Round7Spec extends AnyFunSuite {
     assert(out(2L) == 0, "a unique doc must have zero duplicated grams")
   }
 
+  test("PQ self-encoding: every codebook vector quantizes to its own code in all 4 subspaces") {
+    // The codebook IS the 16 lowest-id vectors' subvectors, so each of them
+    // is at exact distance 0 from its own codeword — any other winner means
+    // the distance expression or tie order is broken.
+    val rows = ops.Similarity.pqEncode(spark, sf)
+      .filter(col("vec_id") < 16).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getLong(0).toInt
+      val codes = Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(codes.forall(_ == id),
+        s"codebook vector $id must self-encode, got $codes")
+    }
+  }
+
   test("pretokenizer: piece counts reconstruct the text's non-space length") {
     // The BPE-ish pieces (with their leading spaces) plus whitespace runs
     // partition the text exactly: concatenating all matches restores it.
