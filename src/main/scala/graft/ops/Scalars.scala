@@ -198,7 +198,54 @@ object Scalars {
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("n_regionkey")
 
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-click): each step's cohort is the min event time AFTER
+    * the previous step's min — the product-analytics staple. Three
+    * aggregates chained on user_id: every join and groupBy keys on the
+    * same user_id, so Spark reuses ONE hash partitioning across the whole
+    * chain (no re-shuffle per step at scale); events are never
+    * self-joined on anything wider than the user key. Timestamps truncate
+    * to microseconds in BOTH engines (the parquet is nanos; Spark's native
+    * precision is micros) so step comparisons can't flip on sub-micro
+    * ordering. */
+  val funnel: Q = (s, d) => {
+    val ev = Tables(s, d, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    t1.agg(lit("1_view").as("step"), count(lit(1)).as("n_users"))
+      .unionAll(t2.agg(lit("2_click").as("step"), count(lit(1)).as("n_users")))
+      .unionAll(t3.agg(lit("3_purchase").as("step"), count(lit(1)).as("n_users")))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen week, counted in
+    * every later week they were active — the (cohort_week, week_offset) →
+    * users matrix. Two aggregates over the fact (first-seen and distinct
+    * active weeks), one join back on user_id; at scale both shuffles key on
+    * user_id and the matrix is |weeks|² rows. Offsets are exact integer
+    * day-diffs / 7 (weeks are 7-day aligned by date_trunc in both
+    * engines). */
+  val cohortRetention: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val active = ev.distinct()
+    active.join(firstSeen, "user_id")
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnel,
+    "q_cohort" -> cohortRetention,
     "q_dateparts" -> dateParts,
     "q_histogram" -> histogram,
     "q_string_agg" -> stringAgg,
@@ -219,6 +266,10 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events), t1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1), t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1), t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1) SELECT step, n_users FROM (SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t1 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3) u ORDER BY step""",
+    "q_cohort" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events), fs AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1) SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_wk, CAST(datediff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_offset, CAST(count(*) AS BIGINT) AS n_users FROM ev JOIN fs USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dateparts" ->
       """SELECT o_orderkey, CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, CAST(quarter(o_orderdate) AS INTEGER) AS qtr, CAST(dayofyear(o_orderdate) AS INTEGER) AS doy, last_day(CAST(o_orderdate AS DATE)) AS eom FROM orders ORDER BY o_orderkey""",
     "q_histogram" ->

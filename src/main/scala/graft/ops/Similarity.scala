@@ -368,23 +368,35 @@ object Similarity {
     * 100 TB encoding is read-bandwidth; the oracle mirrors the argmin with
     * a ranked window over the identical distance expression, and the
     * OUTPUT is pure integers, so the check is exact. */
-  val pqEncode: Q = (s, d) => {
-    val M = 4; val sub = 16; val K = 16
-    val subStructs = (e: String) =>
-      s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice($e, m * $sub + 1, $sub) AS v))"
-    val cb = Tables(s, d, "embeddings").orderBy("vec_id").limit(K)
+  private val PqM = 4; private val PqSub = 16; private val PqK = 16
+  private def pqSubStructs(e: String): String =
+    s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, slice($e, m * $PqSub + 1, $PqSub) AS v))"
+
+  /** (m, code, cw): K=16 codewords per subspace from the K lowest-id
+    * vectors' subvectors (the q_ivf_ann centroid convention). */
+  def pqCodebook(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").orderBy("vec_id").limit(PqK)
       .select(col("vec_id").cast("int").as("code"), toDouble(col("embedding")).as("ce"))
-      .select(col("code"), explode(expr(subStructs("ce"))).as("x"))
+      .select(col("code"), explode(expr(pqSubStructs("ce"))).as("x"))
       .select(col("x.m").as("m"), col("code"), col("x.v").as("cw"))
+
+  /** (vec_id, m, code): every vector's per-subspace nearest codeword —
+    * broadcast codebook, map-side-combined `min_by(code, struct(d2, code))`
+    * argmin (smaller code wins exact ties in both engines). */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
     val sv = Tables(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .select(col("vec_id"), explode(expr(subStructs("e"))).as("x"))
+      .select(col("vec_id"), explode(expr(pqSubStructs("e"))).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.v").as("sv"))
-    val scored = sv.join(broadcast(cb), "m")
+    sv.join(broadcast(pqCodebook(s, d)), "m")
       .select(col("vec_id"), col("m"), col("code"),
         expr("aggregate(zip_with(sv, cw, (x, c) -> (x - c) * (x - c)), 0.0D, (a, b) -> a + b)").as("d2"))
-    scored.groupBy("vec_id", "m")
+      .groupBy("vec_id", "m")
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
+
+  val pqEncode: Q = (s, d) =>
+    pqCodes(s, d)
       .groupBy("vec_id")
       .agg(
         max(when(col("m") === 0, col("code"))).as("c0"),
@@ -392,10 +404,42 @@ object Similarity {
         max(when(col("m") === 2, col("code"))).as("c2"),
         max(when(col("m") === 3, col("code"))).as("c3"))
       .orderBy("vec_id")
+
+  /** PQ asymmetric-distance search (ADC, Jégou et al. §III): the query
+    * precomputes its distance to every codeword (an M×K table — 64 doubles
+    * here — that BROADCASTS), and each database vector's approximate
+    * distance is the sum of M table lookups via its stored code. No
+    * embedding is touched at query time: at 100 TB the scan reads 4 small
+    * ints per vector instead of 64 floats — the 16× read-bandwidth win that
+    * makes billion-scale ANN serving work. The per-subspace partials pivot
+    * to fixed columns and add in a FIXED order (d0+d1+d2+d3), so the score
+    * is the identical double in both engines regardless of row order; the
+    * rounded score then ranks with vec_id as tiebreak. */
+  val pqSearch: Q = (s, d) => {
+    val qsub = Tables(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(toDouble(col("embedding")).as("qe"))
+      .select(explode(expr(pqSubStructs("qe"))).as("x"))
+      .select(col("x.m").as("m"), col("x.v").as("qv"))
+    val dtab = pqCodebook(s, d).join(broadcast(qsub), "m")
+      .select(col("m"), col("code"),
+        expr("aggregate(zip_with(cw, qv, (x, c) -> (x - c) * (x - c)), 0.0D, (a, b) -> a + b)").as("dd"))
+    pqCodes(s, d).join(broadcast(dtab), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("m") === 0, col("dd"))).as("d0"),
+        max(when(col("m") === 1, col("dd"))).as("d1"),
+        max(when(col("m") === 2, col("dd"))).as("d2"),
+        max(when(col("m") === 3, col("dd"))).as("d3"))
+      .select(col("vec_id"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(10)
   }
 
   val queries: Map[String, Q] = Map(
     "q_pq_encode" -> pqEncode,
+    "q_pq_search" -> pqSearch,
     "q_embed_norm" -> embedNorm,
     "q_ivf_kmeans" -> ivfKmeans,
     "q_ivf_ann" -> ivfAnn,
@@ -433,6 +477,8 @@ object Similarity {
     // DuckDB's float32 cosine vs our double accumulation could only diverge at
     // argmax/probe/top-k boundaries, and the fixture margins are >1e-4 (checked
     // empirically; fixtures are fixed per engagement so the check is conclusive).
+    "q_pq_search" ->
+      """WITH ms AS (SELECT unnest(range(0, 4)) AS m), cb AS (SELECT m, code, list_transform(list_slice(ce, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS cw FROM (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 16) b CROSS JOIN ms), sv AS (SELECT vec_id, m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS sv FROM embeddings CROSS JOIN ms), scored AS (SELECT vec_id, s.m, code, list_sum(list_transform(range(1, 17), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d2 FROM sv s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM scored) r WHERE rn = 1), q AS (SELECT m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS qv FROM embeddings CROSS JOIN ms WHERE vec_id = 0), dtab AS (SELECT c.m, c.code, list_sum(list_transform(range(1, 17), i -> (cw[i] - qv[i]) * (cw[i] - qv[i]))) AS dd FROM cb c JOIN q ON c.m = q.m), sc AS (SELECT co.vec_id, max(CASE WHEN co.m = 0 THEN dd END) AS d0, max(CASE WHEN co.m = 1 THEN dd END) AS d1, max(CASE WHEN co.m = 2 THEN dd END) AS d2, max(CASE WHEN co.m = 3 THEN dd END) AS d3 FROM codes co JOIN dtab dt ON co.m = dt.m AND co.code = dt.code GROUP BY 1) SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM sc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
     "q_ivf_ann" ->
       """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings ORDER BY vec_id LIMIT 16), q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0), scored AS (SELECT e.vec_id, e.embedding, c.cent_id, CAST(list_cosine_similarity(e.embedding, c.cemb) AS DOUBLE) AS cs FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0), assign AS (SELECT vec_id, embedding, cent_id AS cell FROM (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id DESC) AS rn FROM scored) r WHERE rn = 1), probes AS (SELECT cent_id AS cell FROM cent CROSS JOIN q ORDER BY CAST(list_cosine_similarity(cemb, qemb) AS DOUBLE) DESC, cell LIMIT 2) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, q.qemb) AS DOUBLE) AS s FROM assign a JOIN probes p ON a.cell = p.cell CROSS JOIN q ORDER BY s DESC, a.vec_id LIMIT 10) t ORDER BY vec_id""",
     "q_array_fns2" ->

@@ -294,6 +294,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hs.forall(_.contains("vec_id")), s"shuffles must key on vec_id, got $hs")
   }
 
+  test("pq_search: distance table and codebook broadcast; no product, no sort-merge") {
+    val p = plan("q_pq_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both the codebook and the M×K distance table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"),
