@@ -301,7 +301,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-representative selection — the step AFTER clustering that
+    * decides which physical row survives dedup: per near-dup cluster, keep
+    * the longest document (most content), ties to the smallest doc_id, and
+    * report how many rows the cluster drops. The winner is a min_by argmax
+    * over (-n_chars, doc_id) — ONE map-side-combinable aggregate per
+    * cluster, no ranked window (the [[TextOps.repetition]] rationale); the
+    * doc-metadata join shuffles on doc_id, the key the label table already
+    * carries. In production the keep-list anti-joins back against the
+    * corpus, exactly [[TextOps.dedupIncremental]]'s shape. */
+  val clusterKeep: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+    val cands = candidatePairs(minhashBands(minhashSignatures(docs)))
+    val verified = exactJaccard(cands, docs).filter(col("jaccard") >= 0.6)
+    val members = connectedComponents(verified.select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val winner = struct(col("doc_id").as("doc_id"), col("n_chars").as("n_chars"))
+    val key = struct((-col("n_chars")).as("neg"), col("doc_id").as("doc_id"))
+    members.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min_by(winner, key).as("w"),
+        sum(col("n_chars")).as("cluster_chars"))
+      .select(col("cluster"), col("w.doc_id").as("keep_id"),
+        col("w.n_chars").as("keep_chars"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"), col("cluster_chars"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cluster_keep" -> clusterKeep,
     "q_neardup_incremental" -> incrementalNearDup,
     "q_minhash_pairs" -> minhashPairs,
     "q_dedup_clusters" -> dedupClusters,
@@ -346,17 +375,29 @@ object Dedup {
     s"WITH $VerifiedPairsCte SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"
 
   /** The connected-components oracle unrolls [[connectedComponents]]'s five
-    * min-label iterations as five chained CTEs over the verified pairs. */
-  private val DedupClustersOracle: String = {
+    * min-label iterations as five chained CTEs over the verified pairs;
+    * [[ClusterKeepOracle]] extends the same chain with the representative
+    * argmax. */
+  private val LabelsCte: String = {
     val iters = (1 to 5).map { i =>
       s"l$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (SELECT id, comp FROM l${i - 1} " +
         s"UNION ALL SELECT e.src AS id, l.comp FROM edges e JOIN l${i - 1} l ON e.dst = l.id) u GROUP BY id)"
     }.mkString(", ")
-    s"WITH $VerifiedPairsCte, " +
+    s"$VerifiedPairsCte, " +
       s"edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified), " +
-      s"l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges), $iters " +
-      s"SELECT id AS doc_id, comp AS canonical_id FROM l5 ORDER BY doc_id"
+      s"l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges), $iters"
   }
+
+  private val DedupClustersOracle: String =
+    s"WITH $LabelsCte SELECT id AS doc_id, comp AS canonical_id FROM l5 ORDER BY doc_id"
+
+  private val ClusterKeepOracle: String =
+    s"WITH $LabelsCte, " +
+      "m AS (SELECT l5.id AS doc_id, l5.comp AS cluster, d.n_chars FROM l5 JOIN documents d ON l5.id = d.doc_id), " +
+      "r AS (SELECT cluster, doc_id, n_chars, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk FROM m), " +
+      "a AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members, CAST(sum(n_chars) AS BIGINT) AS cluster_chars FROM m GROUP BY cluster) " +
+      "SELECT a.cluster, r.doc_id AS keep_id, r.n_chars AS keep_chars, a.n_members, a.n_members - 1 AS n_dropped, a.cluster_chars " +
+      "FROM a JOIN r ON a.cluster = r.cluster AND r.rk = 1 ORDER BY a.cluster"
 
   private val SimhashOracle: String = {
     val sig = (0 until SimhashBits)
@@ -407,6 +448,7 @@ object Dedup {
     "q_simhash" -> SimhashOracle,
     "q_minhash_pairs" -> MinhashPairsOracle,
     "q_dedup_clusters" -> DedupClustersOracle,
+    "q_cluster_keep" -> ClusterKeepOracle,
     "q_minhash_sig" -> MinhashSigOracle,
     "q_simhash_sig" -> SimhashSigOracle,
     "q_ngram_jaccard" ->

@@ -561,7 +561,96 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** First BPE merge step (Sennrich et al., "Neural Machine Translation of
+    * Rare Words with Subword Units", ACL 2016 §3.2): corpus-wide frequencies
+    * of adjacent symbol pairs within tokens — the statistic the BPE trainer
+    * maximizes at every merge. One explode per token position and a single
+    * count shuffle whose key is the 2-char pair (tiny domain → near-perfect
+    * map-side combine); at 100 TB the pair table is KBs, so the shuffle
+    * carries one row per (task, pair), not per occurrence. */
+  val bpePairs: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
+  /** Vocabulary-coverage curve: the smallest top-k vocabulary (by corpus
+    * frequency, ties to the lexicographically smaller token) covering 50 /
+    * 75 / 90 / 95 / 99% of all token occurrences — the truncation analysis
+    * run before freezing a tokenizer vocab. Thresholds evaluate in exact
+    * integer arithmetic (`cum*100 >= total*p`), so the reported sizes are
+    * bit-stable across engines. The rank/cumsum window runs over the
+    * AGGREGATED vocabulary — corpus-sublinear (a 100 TB crawl has ~10^7-10^8
+    * distinct tokens, not 10^11), so the single-partition sort is of the
+    * vocab table only; beyond that, the same cumsum decomposes into the
+    * classic two-pass per-bucket prefix sum. */
+  val vocabCoverage: Q = (s, d) => {
+    val counts = Tables(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(order).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(order.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val tot = counts.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("vocab_size"))
+    val covs = Seq(50, 75, 90, 95, 99).map(p =>
+      min(when(col("cum") * 100 >= col("n_total") * p, col("rk"))).as(s"v$p"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy()
+      .agg(max(col("n_total")).as("n_total"),
+        (max(col("vocab_size")).as("vocab_size") +: covs): _*)
+  }
+
+  /** Temperature-scaled language mixing weights (the multilingual sampling
+    * rebalance of mBERT/XLM-R: p_l ∝ n_l^α with α = 1/2, exposed here via
+    * IEEE-exact sqrt): each language's sampling weight and the implied epoch
+    * multiplier over its natural share. Two rows of shuffle per language —
+    * the counts aggregate is the only corpus-sized work; weights are rounded
+    * to 6 dp because the 5-term normalizer sum is the one float whose
+    * addition order an engine may choose. */
+  val mixWeights: Q = (s, d) => {
+    val counts = Tables(s, d, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("n_total"),
+      sum(sqrt(col("cnt"))).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("cnt"),
+        round(sqrt(col("cnt")) / col("z"), 6).as("weight"),
+        round(sqrt(col("cnt")) / col("z") * col("n_total") / col("cnt"), 6)
+          .as("epochs"))
+      .orderBy("lang")
+  }
+
+  /** Per-source provenance audit: document counts, language spread, volume,
+    * and the count of docs whose exact text also appears elsewhere in the
+    * corpus — the per-domain quality/dup dashboard used to set source
+    * mixing weights. The duplicate flag is a window count over the content
+    * key (at 100 TB: group on md5(text) as in [[dedupExact]] so the shuffle
+    * carries digests, not text), then ONE groupBy on source. */
+  val sourceStats: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .withColumn("dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("dups") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "q_bpe_pairs" -> bpePairs,
+    "q_vocab_coverage" -> vocabCoverage,
+    "q_mix_weights" -> mixWeights,
+    "q_source_stats" -> sourceStats,
     "q_pack" -> pack,
     "q_dup_ngrams" -> dupNgrams,
     "q_chunk" -> chunk,
@@ -590,6 +679,14 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t WHERE len(tok) >= 2) p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
+    "q_vocab_coverage" ->
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) x GROUP BY tok), r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk, CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS vocab_size FROM c) SELECT max(n_total) AS n_total, max(vocab_size) AS vocab_size, min(CASE WHEN cum*100 >= n_total*50 THEN rk END) AS v50, min(CASE WHEN cum*100 >= n_total*75 THEN rk END) AS v75, min(CASE WHEN cum*100 >= n_total*90 THEN rk END) AS v90, min(CASE WHEN cum*100 >= n_total*95 THEN rk END) AS v95, min(CASE WHEN cum*100 >= n_total*99 THEN rk END) AS v99 FROM r CROSS JOIN t""",
+    "q_mix_weights" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, sum(sqrt(cnt)) AS z FROM c) SELECT lang, cnt, round(sqrt(cnt) / z, 6) AS weight, round(sqrt(cnt) / z * n_total / cnt, 6) AS epochs FROM c CROSS JOIN t ORDER BY lang""",
+    "q_source_stats" ->
+      """WITH w AS (SELECT source, lang, n_chars, count(*) OVER (PARTITION BY text) AS dups FROM documents) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, CAST(sum(n_chars) AS BIGINT) AS total_chars, CAST(sum(CASE WHEN dups >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs FROM w GROUP BY source ORDER BY source""",
     "q_dup_ngrams" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents), g AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7), i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4], toks[i+5], toks[i+6], toks[i+7], toks[i+8]))) AS g FROM t), p AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM g), w AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS docfreq FROM p) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams, round(CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac FROM w GROUP BY doc_id ORDER BY doc_id""",
     "q_pack" ->
