@@ -243,7 +243,34 @@ object Scalars {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Tukey/IQR outlier screen over the event stream: per event-type fences
+    * at quartile ± 1.5·IQR from EXACT interpolated quartiles, counting the
+    * events beyond each fence. Engines may disagree on a quartile's final
+    * ulp (different interpolation arithmetic), but the measured fence gaps
+    * on this data are ≥ 0.075 — so the flag decisions are stable — and the
+    * OUTPUT carries only integer counts plus an exact two-integer ratio
+    * (emitting the interpolated quantiles themselves would risk
+    * round-boundary flakes; see the float rules in the verify notes).
+    * Shape: one sort-based quartile aggregate per type, then the 5-row
+    * fence table BROADCASTS back onto the scan — two passes over events,
+    * zero corpus-sized shuffles. */
+  val outliers: Q = (s, d) => {
+    val ev = Tables(s, d, "events").select(col("event_type"), col("value"))
+    val fences = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.25)).as("q1"),
+        percentile(col("value"), lit(0.75)).as("q3"))
+    val iqr = col("q3") - col("q1")
+    ev.join(broadcast(fences), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("q3") + iqr * 1.5, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("value") < col("q1") - iqr * 1.5, 1L).otherwise(0L)).as("n_low"))
+      .withColumn("high_frac", col("n_high").cast("double") / col("n_events"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_outliers" -> outliers,
     "q_funnel" -> funnel,
     "q_cohort" -> cohortRetention,
     "q_dateparts" -> dateParts,
@@ -266,6 +293,8 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_outliers" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1) SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(CASE WHEN value > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high, CAST(sum(CASE WHEN value < q1 - (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low, CAST(sum(CASE WHEN value > q3 + (q3 - q1) * 1.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS high_frac FROM events e JOIN q USING (event_type) GROUP BY e.event_type ORDER BY e.event_type""",
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events), t1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1), t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1), t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1) SELECT step, n_users FROM (SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM t1 UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2 UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3) u ORDER BY step""",
     "q_cohort" ->

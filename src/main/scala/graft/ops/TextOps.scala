@@ -646,7 +646,21 @@ object TextOps {
         sum(when(col("dups") >= 2, 1L).otherwise(0L)).as("dup_docs"))
       .orderBy("source")
 
+  /** Fixed-SIZE reproducible sample: the k documents with the smallest
+    * salted portable hash — a deterministic priority sample (uniform-weight
+    * Efraimidis–Spirakis), the fixed-budget companion to the rate-based
+    * [[sample]]. Same engine-portable reproducibility; the plan is a
+    * TakeOrderedAndProject (per-partition top-k, merge on the driver-side
+    * heap), never a full sort — at 100 TB each task ships k rows. */
+  val prioritySample: Q = (s, d) =>
+    Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Dedup.portableHash(concat(lit("ps:"), col("doc_id").cast("string"))).as("pri"))
+      .orderBy("pri", "doc_id")
+      .limit(25)
+
   val queries: Map[String, Q] = Map(
+    "q_priority_sample" -> prioritySample,
     "q_bpe_pairs" -> bpePairs,
     "q_vocab_coverage" -> vocabCoverage,
     "q_mix_weights" -> mixWeights,
@@ -679,6 +693,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_priority_sample" ->
+      """SELECT doc_id, lang, n_chars, ('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pri FROM documents ORDER BY pri, doc_id LIMIT 25""",
     "q_bpe_pairs" ->
       """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) t WHERE len(tok) >= 2) p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
     "q_vocab_coverage" ->

@@ -73,6 +73,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.forall { r => r.getLong(4) >= 0 && r.getLong(4) <= r.getLong(1) })
   }
 
+  test("outliers: Tukey fences bound each tail by a quartile's mass") {
+    val rows = ops.Scalars.outliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hi, lo, frac) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // > q3 + 1.5*IQR implies > q3, which at most 25% of values exceed
+      // (interpolated quartile, so no +1 tie slack needed on the high side).
+      assert(hi <= n / 4 + 1 && lo <= n / 4 + 1)
+      assert(frac == hi.toDouble / n)
+    }
+  }
+
+  test("priority_sample: fixed size, deterministic, and plans as a top-k (no full sort)") {
+    val a = ops.TextOps.prioritySample(spark, sf).collect()
+    val b = ops.TextOps.prioritySample(spark, sf).collect()
+    assert(a.length == 25 && a.toSeq == b.toSeq)
+    val plan = ops.TextOps.prioritySample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-size sample must be a per-partition top-k, got:\n$plan")
+  }
+
   test("cluster_keep: the representative is the longest member, ties to min id") {
     val labels = ops.Dedup.dedupClusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
