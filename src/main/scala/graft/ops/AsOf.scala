@@ -66,9 +66,15 @@ object AsOf {
     * Both inputs must expose resolved columns named by the caller; the
     * right side's columns must not collide with the left's (rename before
     * calling — aliasing also gives the self-join case fresh exprIds).
+    *
+    * `outer = true` emits unmatched left rows null-extended (DuckDB
+    * `ASOF LEFT JOIN`); `tolerance` (native time units — micros for
+    * timestamps) rejects matches older than `leftTime - tolerance`,
+    * DuckDB-mirrored as a post-ASOF `epoch_us` gap predicate.
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
-                     rightKey: String, leftTime: String, rightTime: String): DataFrame = {
+                     rightKey: String, leftTime: String, rightTime: String,
+                     outer: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // Belt-and-braces for sessions built WITHOUT spark.sql.extensions (a
     // foreign driver session): the public `experimental` hooks accept the
@@ -87,7 +93,8 @@ object AsOf {
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
-        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime),
+        outer, tolerance))
   }
 
   /** [[purchaseAsofSignup]] re-expressed on the native operator — same
@@ -99,6 +106,43 @@ object AsOf {
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
     asofJoinNative(purchases, signups, "user_id", "s_user_id", "ts", "signup_ts")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value"), col("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  /** LEFT-OUTER flavor of [[purchaseAsofSignupNative]]: every purchase
+    * emits; those with no prior signup carry a null signup_ts — the
+    * "which events are unattributable" audit an attribution pipeline runs.
+    * Oracle: DuckDB `ASOF LEFT JOIN`. */
+  val purchaseAsofSignupOuter: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    asofJoinNative(purchases, signups, "user_id", "s_user_id", "ts", "signup_ts",
+        outer = true)
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+        col("value"), col("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Tolerance-bounded as-of: a purchase only attributes to a signup within
+    * the last 3 days (`within X` — the other common ASOF ask; trading
+    * systems use it to reject stale quotes). Inner flavor: out-of-window
+    * matches drop. The bound is checked O(1) per left row inside the merge
+    * (the candidate is already the LATEST at-or-before row), and the oracle
+    * mirrors it as a post-ASOF `epoch_us` gap predicate. */
+  val ToleranceMicros: Long = 3L * 24 * 3600 * 1000000 // 3 days
+  val purchaseAsofTolerance: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+    asofJoinNative(purchases, signups, "user_id", "s_user_id", "ts", "signup_ts",
+        tolerance = Some(ToleranceMicros))
       .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
         col("value"), col("signup_ts"))
       .orderBy("event_id")
@@ -120,6 +164,8 @@ object AsOf {
   val queries: Map[String, Q] = Map(
     "q_asof_join" -> purchaseAsofSignup,
     "q_asof_native" -> purchaseAsofSignupNative,
+    "q_asof_native_outer" -> purchaseAsofSignupOuter,
+    "q_asof_tolerance" -> purchaseAsofTolerance,
   )
 
   val oracle: Map[String, String] = Map(
@@ -127,5 +173,9 @@ object AsOf {
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
     "q_asof_native" ->
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
+    "q_asof_native_outer" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
+    "q_asof_tolerance" ->
+      s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts WHERE epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) <= $ToleranceMicros ORDER BY event_id""",
   )
 }

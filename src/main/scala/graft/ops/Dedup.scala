@@ -204,18 +204,21 @@ object Dedup {
       .replaceAll("\n", " ")
   }
 
-  /** Blocked exact n-gram (token-set) Jaccard: blocking on (lang, length
-    * bucket) bounds the quadratic term to within-block pairs — the exact
-    * verifier companion to the MinHash candidate generator. */
+  /** Exact n-gram (token-set) Jaccard at a strict 0.8 threshold, fed by the
+    * LSH candidate generator. Round 8 retired the previous (lang, 64-char
+    * length-bucket) blocked self-join: block population grows linearly with
+    * the corpus, so within-block pairs grow QUADRATICALLY — the one plan in
+    * the round-7 surface that could not survive 100×. Banded minhash
+    * candidates are the scale-safe replacement: candidate volume tracks
+    * true near-dup density, and at j ≥ 0.8 the 16-band/4-row S-curve's
+    * recall is ≥ 0.986 (P = 1-(1-j^4)^16; pinned on planted pairs in
+    * DedupSpec). Same output columns; the oracle replays the identical
+    * LSH decisions via the engine-portable hash, so the query remains
+    * hash-checked end-to-end. */
   val ngramJaccard: Q = (s, d) => {
-    val t = Tables(s, d, "documents")
-      .select(col("doc_id"), col("lang"), floor(col("n_chars") / lit(64)).as("lenb"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("lenb"), col("toks").as("toks_a"))
-    val b = t.select(col("doc_id").as("doc_b"), col("lang"), col("lenb"), col("toks").as("toks_b"))
-    a.join(b, Seq("lang", "lenb"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+    val docs = Tables(s, d, "documents")
+    val cands = candidatePairs(minhashBands(minhashSignatures(docs)))
+    exactJaccard(cands, docs)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -452,6 +455,6 @@ object Dedup {
     "q_minhash_sig" -> MinhashSigOracle,
     "q_simhash_sig" -> SimhashSigOracle,
     "q_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lenb, list_distinct(str_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard FROM t a JOIN t b ON a.lang = b.lang AND a.lenb = b.lenb AND a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8 ORDER BY doc_a, doc_b""",
+      s"WITH $VerifiedPairsCte SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b",
   )
 }

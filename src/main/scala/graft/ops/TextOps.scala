@@ -171,6 +171,44 @@ object TextOps {
     definitelyNovel.union(maybe).orderBy("doc_id")
   }
 
+  /** Persisted canonical dedup store + day-2 probe — the registered form of
+    * the shape [[dedupIncremental]]'s scaladoc prescribes and BucketingSpec
+    * demonstrates: the canonical fingerprint set is WRITTEN once as a table
+    * bucketed (and sorted) by fp, and the daily incremental run anti-joins
+    * the new batch against the store with ZERO exchange on the store side —
+    * each bucket file IS a ready-made join partition, so the daily cost is
+    * shuffling the new batch only, never the accumulated corpus. (At 100 TB
+    * the store is the large side; re-shuffling it every day is the dominant
+    * cost the bucketed layout deletes. Round8Spec pins the zero-Exchange
+    * store side under a forced sort-merge anti-join. One residual: Spark
+    * does not trust write-time sortBy on read — a bucket may span several
+    * writer files — so a partition-local, network-free SortExec remains
+    * above the bucket scan.) The store
+    * lands in the JVM temp dir keyed by the data dir, rebuilt per run —
+    * in production it is the maintained output of day N-1. Output (and
+    * oracle) identical to [[dedupIncremental]]. */
+  val StoreBuckets = 32
+  def canonStoreName(d: String): String =
+    "graft_canon_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
+
+  val dedupStore: Q = (s, d) => {
+    val fps = Tables(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+        pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(2L)).as("b"))
+    val tbl = canonStoreName(d)
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$tbl"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    fps.filter(col("b") === 0).select("fp").distinct()
+      .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
+      .option("path", loc).mode("overwrite").saveAsTable(tbl)
+    fps.filter(col("b") === 1)
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dups"))
+      .join(s.table(tbl), Seq("fp"), "left_anti")
+      .select("doc_id", "fp", "batch_dups")
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style document fingerprints: rolling word-3-gram hashes,
     * 0-mod-p sampled — two documents sharing content share fingerprints, so
     * a join on (fp) finds copied passages across a 100 TB corpus with a
@@ -346,21 +384,32 @@ object TextOps {
     * a document's word bigrams. Documents full of rare bigrams are the
     * noisy/outlier candidates a pretraining quality filter flags — the
     * count-based cousin of an LM perplexity score, kept integer-exact
-    * (sum of counts / count) so it is bit-stable across engines. The corpus
-    * frequency is a window count over the bigram key — ONE shuffle on bg and
-    * no self-join (a freq-table join would recompute the exploded-bigram
-    * subtree for the probe side and shuffle it twice: measured 5.2s vs ~1s
-    * at sf0.1). */
+    * (sum of counts / count) so it is bit-stable across engines.
+    *
+    * Skew-safe shape (round 8; replaces the round-7 window count over bg):
+    * a `Window.partitionBy(<token key>)` forces EVERY occurrence of one key
+    * into one task — no map-side combine, and AQE cannot skew-split a window
+    * the way it splits a join, so at corpus scale a Zipf-heavy bigram
+    * ("of the") becomes a straggler/spill bomb. Instead: per-(doc, bigram)
+    * counts FIRST (map-side-combinable; collapses within-doc repeats),
+    * materialized ONCE via localCheckpoint (the repo's iterative-lineage
+    * pattern — this is what made the round-5 freq-join slow: the exploded
+    * subtree was computed twice, 5.2s vs ~1s), then the corpus frequency is
+    * a groupBy over the tf frame — only DISTINCT bigrams cross the wire —
+    * and the join back on bg is an equi-join AQE can skew-split (or the
+    * heavy tail can broadcast). `avg = Σ tf·cnt / Σ tf` reproduces the
+    * per-occurrence average exactly in integer arithmetic. */
   val bigramQuality: Q = (s, d) => {
-    val bigrams = Tables(s, d, "documents")
-      .select(col("doc_id"), Dedup.shingles(col("text"), n = 2).as("bgs"))
-      .select(col("doc_id"), explode(col("bgs")).as("bg"))
-    bigrams
-      .withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+    val tf = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n = 2)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val freq = tf.groupBy("bg").agg(sum(col("tf")).as("cnt"))
+    tf.join(freq, Seq("bg"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_bigram_freq"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("tf") * col("cnt")).cast("double") / sum(col("tf"))).as("avg_bigram_freq"))
       .orderBy("doc_id")
   }
 
@@ -441,20 +490,23 @@ object TextOps {
     * engines where `log` is only correctly-rounded-ish. Two shuffles (term
     * df, doc_id rank); the corpus-size scalar broadcasts. */
   val tfidf: Q = (s, d) => {
+    // Skew-safe df (round 8; replaces the round-7 window count over term —
+    // the [[bigramQuality]] rationale: a window on a Zipf token key has no
+    // map-side combine and no AQE skew split). The tf frame materializes
+    // once (localCheckpoint), df is a map-side-combined groupBy over it, and
+    // the join back rides an AQE-skew-splittable equi key. The remaining
+    // window partitions by doc_id — bounded per-document fan-in, not a
+    // corpus-frequency key.
     val tf = Tables(s, d, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    // df as a window count over tf — NOT a tf⋈(tf groupBy term) self-join,
-    // which would plant the whole explode+aggregate subtree on both sides of
-    // the join and (absent runtime exchange reuse) compute it twice. Same
-    // no-self-join rationale as [[bigramQuality]]; one extra shuffle on term
-    // replaces a join that shuffled the same rows anyway.
-    tf.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))
@@ -532,13 +584,15 @@ object TextOps {
     * boilerplate that survives both exact and near dedup (shared spans
     * inside otherwise-distinct pages).
     *
-    * Shape — never all-pairs: distinct (doc, gram-hash) pairs → ONE window
-    * count per gram-hash → per-doc aggregate. Three shuffles, each on a
-    * fixed-width key; the shuffle carries the 60-bit [[Dedup.portableHash]]
+    * Shape — never all-pairs: distinct (doc, gram-hash) pairs, materialized
+    * once (localCheckpoint), → map-side-combined `groupBy(gh).count()` (only
+    * DISTINCT gram hashes cross the wire) → AQE-skew-splittable join back →
+    * per-doc aggregate. The shuffles carry the 60-bit [[Dedup.portableHash]]
     * of each gram, never the 8-token string — at 100 TB that's the
     * difference between shuffling ~8× the corpus text and 8 bytes/gram.
-    * Cross-doc frequency is a window count over the distinct pairs, NOT a
-    * self-join (the q_tfidf rationale: one pass, no subtree duplication).
+    * (Round 8 replaced the round-7 window count over gh: a boilerplate
+    * 8-gram shared by millions of pages pinned every occurrence into one
+    * window task — the [[bigramQuality]] Zipf-key rationale.)
     * Docs with fewer than 8 tokens have no 8-grams and drop out (mirrored
     * by the oracle's empty range()). */
   val dupNgrams: Q = (s, d) => {
@@ -551,8 +605,9 @@ object TextOps {
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("g"))
       .select(col("doc_id"), Dedup.portableHash(col("g")).as("gh"))
       .distinct()
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    pairs.withColumn("docfreq", count(lit(1)).over(byGram))
+      .localCheckpoint()
+    val freq = pairs.groupBy("gh").agg(count(lit(1)).as("docfreq"))
+    pairs.join(freq, Seq("gh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("dup_grams"))
@@ -588,22 +643,30 @@ object TextOps {
     * AGGREGATED vocabulary — corpus-sublinear (a 100 TB crawl has ~10^7-10^8
     * distinct tokens, not 10^11), so the single-partition sort is of the
     * vocab table only; beyond that, the same cumsum decomposes into the
-    * classic two-pass per-bucket prefix sum. */
+    * classic two-pass per-bucket prefix sum. n_total and vocab_size come
+    * from the SAME window pass (unbounded max over the cumsum/rank — the
+    * ranking window's single partition, no extra shuffle) instead of a
+    * second aggregate over `counts`, so the corpus-wide explode+groupBy
+    * subtree appears exactly once in the plan (round-8 fix: it previously
+    * appeared twice and relied on ReusedExchange to not execute twice). */
   val vocabCoverage: Q = (s, d) => {
     val counts = Tables(s, d, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val order = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("tok"))
+    val whole = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val ranked = counts
       .withColumn("rk", row_number().over(order).cast("long"))
       .withColumn("cum", sum(col("cnt")).over(order.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val tot = counts.agg(sum(col("cnt")).as("n_total"),
-      count(lit(1)).as("vocab_size"))
+      .withColumn("n_total", max(col("cum")).over(whole))
+      .withColumn("vocab_size", max(col("rk")).over(whole))
     val covs = Seq(50, 75, 90, 95, 99).map(p =>
       min(when(col("cum") * 100 >= col("n_total") * p, col("rk"))).as(s"v$p"))
-    ranked.crossJoin(broadcast(tot))
+    ranked
       .groupBy()
       .agg(max(col("n_total")).as("n_total"),
         (max(col("vocab_size")).as("vocab_size") +: covs): _*)
@@ -613,14 +676,19 @@ object TextOps {
     * rebalance of mBERT/XLM-R: p_l ∝ n_l^α with α = 1/2, exposed here via
     * IEEE-exact sqrt): each language's sampling weight and the implied epoch
     * multiplier over its natural share. Two rows of shuffle per language —
-    * the counts aggregate is the only corpus-sized work; weights are rounded
-    * to 6 dp because the 5-term normalizer sum is the one float whose
-    * addition order an engine may choose. */
+    * the counts aggregate is the only corpus-sized work. The normalizer
+    * z = Σ sqrt(n_l) is the one cross-partition double sum here, and float
+    * addition order is an engine's choice — so it is pinned: the per-
+    * language terms are collected (one tiny row per language), sorted
+    * ascending, and folded left-to-right, which both Spark (`aggregate`
+    * over `array_sort`) and the oracle (`list_reduce(list_sort(...))`)
+    * replay bit-identically at any parallelism. */
   val mixWeights: Q = (s, d) => {
     val counts = Tables(s, d, "documents")
       .groupBy("lang").agg(count(lit(1)).as("cnt"))
     val tot = counts.agg(sum(col("cnt")).as("n_total"),
-      sum(sqrt(col("cnt"))).as("z"))
+      aggregate(array_sort(collect_list(sqrt(col("cnt")))), lit(0.0d),
+        (acc, x) => acc + x).as("z"))
     counts.crossJoin(broadcast(tot))
       .select(col("lang"), col("cnt"),
         round(sqrt(col("cnt")) / col("z"), 6).as("weight"),
@@ -632,19 +700,28 @@ object TextOps {
   /** Per-source provenance audit: document counts, language spread, volume,
     * and the count of docs whose exact text also appears elsewhere in the
     * corpus — the per-domain quality/dup dashboard used to set source
-    * mixing weights. The duplicate flag is a window count over the content
-    * key (at 100 TB: group on md5(text) as in [[dedupExact]] so the shuffle
-    * carries digests, not text), then ONE groupBy on source. */
-  val sourceStats: Q = (s, d) =>
-    Tables(s, d, "documents")
-      .withColumn("dups", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+    * mixing weights. The duplicate flag groups on md5(text) (round 8;
+    * previously a window partitioned by RAW text — both the Zipf-window
+    * problem AND full text on the wire): the digest projection materializes
+    * once (localCheckpoint — one scan, text never leaves the map side), the
+    * dup count is a map-side-combined groupBy on the 16-byte digest, and the
+    * join back is AQE-skew-splittable. md5 groups exactly like text
+    * (collision-free at any realistic corpus size), so the oracle is
+    * unchanged. */
+  val sourceStats: Q = (s, d) => {
+    val base = Tables(s, d, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("fp"))
+      .localCheckpoint()
+    val dupCnt = base.groupBy("fp").agg(count(lit(1)).as("dups"))
+    base.join(dupCnt, Seq("fp"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("n_chars")).as("total_chars"),
         sum(when(col("dups") >= 2, 1L).otherwise(0L)).as("dup_docs"))
       .orderBy("source")
+  }
 
   /** Fixed-SIZE reproducible sample: the k documents with the smallest
     * salted portable hash — a deterministic priority sample (uniform-weight
@@ -680,6 +757,7 @@ object TextOps {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_bloom" -> dedupBloom,
+    "q_dedup_store" -> dedupStore,
     "q_pii_scrub" -> piiScrub,
     "q_contamination" -> contamination,
     "q_text_stats" -> textStats,
@@ -700,7 +778,7 @@ object TextOps {
     "q_vocab_coverage" ->
       """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents) x GROUP BY tok), r AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rk, CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS vocab_size FROM c) SELECT max(n_total) AS n_total, max(vocab_size) AS vocab_size, min(CASE WHEN cum*100 >= n_total*50 THEN rk END) AS v50, min(CASE WHEN cum*100 >= n_total*75 THEN rk END) AS v75, min(CASE WHEN cum*100 >= n_total*90 THEN rk END) AS v90, min(CASE WHEN cum*100 >= n_total*95 THEN rk END) AS v95, min(CASE WHEN cum*100 >= n_total*99 THEN rk END) AS v99 FROM r CROSS JOIN t""",
     "q_mix_weights" ->
-      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, sum(sqrt(cnt)) AS z FROM c) SELECT lang, cnt, round(sqrt(cnt) / z, 6) AS weight, round(sqrt(cnt) / z * n_total / cnt, 6) AS epochs FROM c CROSS JOIN t ORDER BY lang""",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, list_reduce(list_sort(list(sqrt(cnt))), (a, b) -> a + b) AS z FROM c) SELECT lang, cnt, round(sqrt(cnt) / z, 6) AS weight, round(sqrt(cnt) / z * n_total / cnt, 6) AS epochs FROM c CROSS JOIN t ORDER BY lang""",
     "q_source_stats" ->
       """WITH w AS (SELECT source, lang, n_chars, count(*) OVER (PARTITION BY text) AS dups FROM documents) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, CAST(sum(n_chars) AS BIGINT) AS total_chars, CAST(sum(CASE WHEN dups >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs FROM w GROUP BY source ORDER BY source""",
     "q_dup_ngrams" ->
@@ -740,6 +818,8 @@ object TextOps {
     "q_dedup_bloom" ->
       """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
     "q_dedup_incremental" ->
+      """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
+    "q_dedup_store" ->
       """WITH fps AS (SELECT doc_id, md5(text) AS fp, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS b FROM documents), canon AS (SELECT DISTINCT fp FROM fps WHERE b = 0), newb AS (SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS batch_dups FROM fps WHERE b = 1 GROUP BY fp) SELECT doc_id, fp, batch_dups FROM newb WHERE NOT EXISTS (SELECT 1 FROM canon WHERE canon.fp = newb.fp) ORDER BY doc_id""",
     "q_text_stats" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens, n_chars, CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS chars_per_token FROM documents ORDER BY doc_id""",

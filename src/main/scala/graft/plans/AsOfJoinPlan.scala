@@ -8,10 +8,23 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * express as a single operator (preference (c): custom `LogicalPlan` +
   * `Rule`/`SparkStrategy` + `SparkPlan` via `SparkSessionExtensions`).
   *
-  * Semantics (inner flavor, matching DuckDB `ASOF JOIN` and the composed
-  * [[graft.ops.AsOf.asofJoin]]): for every left row, join the single right
-  * row with the same key and the greatest right time <= the left row's
-  * time; left rows with no such right row are dropped.
+  * Semantics (matching DuckDB `ASOF JOIN` / `ASOF LEFT JOIN` and the
+  * composed [[graft.ops.AsOf.asofJoin]]): for every left row, join the
+  * single right row with the same key and the greatest right time <= the
+  * left row's time.
+  *
+  *  - `outer = false` (inner): left rows with no such right row are
+  *    dropped.
+  *  - `outer = true` (left outer): unmatched left rows emit with a
+  *    null-extended right side — including left rows with a null key or
+  *    time, which can never match (SQL comparison semantics).
+  *  - `tolerance` (optional, in the native units of the time type — micros
+  *    for timestamps): a candidate only matches if
+  *    `leftTime - rightTime <= tolerance`. Because the retained candidate
+  *    is the LATEST right row at-or-before the left time, a candidate
+  *    outside the tolerance means no earlier row can qualify either, so
+  *    the check is O(1) per left row. DuckDB mirrors it as a post-ASOF
+  *    `epoch_us(l.ts) - epoch_us(r.ts) <= tol` predicate.
   *
   * The reference engine's analog is the hand-wired HashJoin build/probe
   * pair (`/root/reference/src/executor/mod.rs:310-381`) — here the
@@ -28,10 +41,13 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    outer: Boolean = false,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =

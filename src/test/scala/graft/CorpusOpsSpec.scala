@@ -7,16 +7,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * vocabulary coverage, mixing weights, per-source provenance stats, and
   * near-dup cluster representative selection. Cross-engine equality is the
   * DuckDB oracle's job; these pin the MEANING of each statistic. */
-class CorpusOpsSpec extends AnyFunSuite {
+class CorpusOpsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  private val plantedDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
   private def planted(rows: Seq[(Long, String)]): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_")
+    plantedDirs += dir
     rows.toDF("doc_id", "text").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
-    dir
+    dir.toString
+  }
+
+  override def afterAll(): Unit = {
+    plantedDirs.foreach { d =>
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    super.afterAll()
   }
 
   test("bpe_pairs: counts adjacent pairs per token occurrence, skips 1-char tokens") {

@@ -276,14 +276,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "NOT EXISTS should plan as a left-anti join")
   }
 
-  test("dup_ngrams: one documents scan; every shuffle carries the 60-bit gram hash, not text") {
+  private def windowPartitionKeys(q: String): Seq[String] =
+    physical(q).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.map(_.toString)
+    }.flatten
+
+  test("dup_ngrams: aggregate-then-join, never a window on the Zipf gram key; hash-keyed shuffles only") {
+    // Round 8: corpus frequency is a map-side-combined groupBy(gh) joined
+    // back (AQE-skew-splittable) over the ONE materialized distinct-pairs
+    // frame — a Window.partitionBy(gh) would pin every occurrence of a
+    // boilerplate 8-gram into a single task with no partial aggregation.
     assert(!plan("q_dup_ngrams").contains("CartesianProduct"))
-    val phys = physical("q_dup_ngrams").toString
-    assert("Scan parquet".r.findAllIn(phys).size == 1,
-      "cross-doc frequency must be a window count over one exploded scan, not a self-join")
+    assert(windowPartitionKeys("q_dup_ngrams").isEmpty,
+      "cross-doc frequency must not be a window over the gram key")
     val hs = hashShuffles("q_dup_ngrams")
     assert(hs.forall(s => s.contains("gh") || s.contains("doc_id")),
       s"shuffle keys must be the gram hash / doc id, got $hs")
+  }
+
+  test("bigram_q / source_stats: no window over a token/content key anywhere in the plan") {
+    for (q <- Seq("q_bigram_q", "q_source_stats")) {
+      assert(windowPartitionKeys(q).isEmpty,
+        s"$q: corpus frequency must be aggregate-then-join, not a Zipf-key window")
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    // source_stats additionally must never shuffle raw text: content is
+    // digested to md5 before the first exchange.
+    assert(hashShuffles("q_source_stats").forall(s => !s.contains("text")),
+      "source_stats must shuffle digests, not raw text")
+  }
+
+  test("ngram_jaccard: candidates come from LSH bands — no length-bucket blocked self-join") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("lenb"),
+      "round 8 retired the (lang, length-bucket) blocked all-pairs shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must ride the (band, sig) equi key")
   }
 
   test("pq_encode: the codebook broadcasts; argmin shuffles carry only (vec_id, m)") {
@@ -301,13 +330,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
-  test("tfidf: corpus-size scalar broadcasts; the tf subtree is computed once") {
+  test("tfidf: corpus-size scalar broadcasts; df never a window on the Zipf term key") {
     val p = plan("q_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the 1-row n_docs aggregate must broadcast, never shuffle-join")
-    // df-as-window (not a tf⋈tf self-join) means the documents scan appears
-    // exactly twice: once under tf, once under the n_docs count.
+    // Round 8: df is a groupBy over the ONE materialized tf frame joined
+    // back on term; the only window left is the per-doc top-3 rank —
+    // bounded fan-in, partitioned by doc_id, never by a token key.
+    val wins = windowPartitionKeys("q_tfidf")
+    assert(wins.nonEmpty && wins.forall(_.contains("doc_id")),
+      s"the only window may partition by doc_id, got $wins")
     val scans = "Scan parquet".r.findAllIn(physical("q_tfidf").toString).size
-    assert(scans <= 2, s"tf subtree duplicated: $scans document scans in the plan")
+    assert(scans <= 1, s"tf subtree must materialize once: $scans document scans in the plan")
   }
 }
