@@ -62,7 +62,12 @@ object TimeProbe {
     // quiet session, median reported — the evidence PERF_NOTES carries next
     // to any future inflated bench record.
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    for (q <- Seq("q_salted_agg", "q_dedup_clusters", "q_salted_join", "q_rollup")) {
+    // Round-8 additions: the composed-vs-native as-of margin (the codegen'd
+    // merge must keep/extend round 7's ~2x) and the four skew-safe
+    // corpus-frequency rewrites vs their r7 bench records.
+    for (q <- Seq("q_salted_agg", "q_dedup_clusters", "q_salted_join", "q_rollup",
+        "q_asof_join", "q_asof_native", "q_bigram_q", "q_tfidf",
+        "q_dup_ngrams", "q_source_stats", "q_ngram_jaccard")) {
       val fn = SparkEntry.queries(q)
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); fn(spark, d).count()

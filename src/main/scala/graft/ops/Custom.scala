@@ -239,6 +239,71 @@ object Custom {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** SpaceSaving approx-top-k (Metwally et al., "Efficient Computation of
+    * Frequent and Top-k Elements in Data Streams") — the (item, est, err)
+    * member of the sketch family: m counters; a full summary meeting a new
+    * item evicts the minimum counter and charges its count as the
+    * newcomer's overestimation error. Invariants (pinned in Round8Spec):
+    * `true ≤ est` and `est − err ≤ true` for every surviving item, and any
+    * item with true count > n/m survives. Merge follows Agarwal et al.,
+    * "Mergeable Summaries": common items add (est, err) pairwise; an item
+    * absent from a FULL summary may have been seen up to that summary's
+    * minimum count times, so it is charged (min, min) — both bounds
+    * survive any merge tree — then the union trims back to the top m.
+    * O(m) memory per group, map-side partial aggregation like any native
+    * agg. When m exceeds the true domain no counter ever evicts, so est is
+    * the exact count with err = 0 under ANY merge order — which is what
+    * lets [[spaceSavingTopK]] carry an exact DuckDB oracle while the
+    * eviction path is exercised by the spec's planted stream. */
+  final class SpaceSaving(m: Int, outK: Int)
+    extends Aggregator[String, Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
+    override def zero: Map[String, (Long, Long)] = Map.empty
+    override def reduce(b: Map[String, (Long, Long)], tok: String): Map[String, (Long, Long)] =
+      b.get(tok) match {
+        case Some((e, r)) => b.updated(tok, (e + 1, r))
+        case None if b.size < m => b.updated(tok, (1L, 0L))
+        case None =>
+          val (mt, (me, _)) = b.minBy { case (t, (e, _)) => (e, t) }
+          (b - mt).updated(tok, (me + 1, me))
+      }
+    override def merge(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
+      def floor(x: Map[String, (Long, Long)]): Long =
+        if (x.size >= m) x.values.map(_._1).min else 0L
+      val (fa, fb) = (floor(a), floor(b))
+      val merged = (a.keySet ++ b.keySet).iterator.map { t =>
+        val (ea, ra) = a.getOrElse(t, (fa, fa))
+        val (eb, rb) = b.getOrElse(t, (fb, fb))
+        t -> (ea + eb, ra + rb)
+      }.toMap
+      if (merged.size <= m) merged
+      else merged.toSeq.sortBy { case (t, (e, _)) => (-e, t) }.take(m).toMap
+    }
+    override def finish(r: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
+      r.toSeq.map { case (t, (e, er)) => (t, e, er) }
+        .sortBy { case (t, e, _) => (-e, t) }.take(outK)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, (Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Approx-top-5 event types via SpaceSaving, m=32 counters. The event-type
+    * domain is far below m, so the summary never evicts and the output is
+    * exactly the true top-5 with err=0 — the oracle-checkable regime; the
+    * approximate (evicting) regime is bound-tested on a planted Zipf stream
+    * in Round8Spec, the [[cmsFreq]]/[[mgHeavyHitters]] convention. */
+  val spaceSavingTopK: Q = (s, d) => {
+    import s.implicits._
+    Tables(s, d, "events")
+      .select(col("event_type")).as[String]
+      .groupByKey(_ => 0)
+      .agg(new SpaceSaving(32, 5).toColumn.name("top"))
+      .toDF("g", "top")
+      .select(explode(col("top")).as("t"))
+      .select(col("t._1").as("item"), col("t._2").as("est"), col("t._3").as("err"))
+      .orderBy(col("est").desc, col("item"))
+  }
+
   /** CMS point estimates for the corpus's top-20 tokens next to their exact
     * counts. Hashes fold to 31 bits ([[Dedup.portableHash]] twice, second
     * salted) so h1 + 3·h2 < 2^33 — no ANSI overflow, and DuckDB computes
@@ -318,6 +383,7 @@ object Custom {
     "q_kmv_distinct" -> udafKmv,
     "q_heavy_hitters" -> mgHeavyHitters,
     "q_cms_freq" -> cmsFreq,
+    "q_space_saving" -> spaceSavingTopK,
   )
 
   val oracle: Map[String, String] = Map(
@@ -333,5 +399,7 @@ object Custom {
       """WITH toks AS (SELECT unnest(str_split(text, ' ')) AS tok FROM documents), h AS (SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483648 AS h1, ('0x' || substr(md5(tok || '#2'), 1, 15))::BIGINT % 2147483648 AS h2 FROM toks), cells AS (SELECT i, (h1 + i * h2) % 1024 AS pos, CAST(count(*) AS BIGINT) AS c FROM h CROSS JOIN (SELECT unnest(range(4)) AS i) GROUP BY 1, 2), top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20), th AS (SELECT tok, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483648 AS h1, ('0x' || substr(md5(tok || '#2'), 1, 15))::BIGINT % 2147483648 AS h2 FROM top) SELECT th.tok, th.cnt, min(cells.c) AS cms_est FROM th JOIN cells ON cells.pos = (th.h1 + cells.i * th.h2) % 1024 GROUP BY 1, 2 ORDER BY cnt DESC, tok""",
     "q_kmv_distinct" ->
       """WITH hh AS (SELECT DISTINCT l_returnflag, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM lineitem), r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS nd FROM hh) SELECT l_returnflag, CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE) ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE) END AS kmv_distinct FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_space_saving" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err FROM events GROUP BY event_type ORDER BY est DESC, item LIMIT 5""",
   )
 }

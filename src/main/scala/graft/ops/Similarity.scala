@@ -122,7 +122,12 @@ object Similarity {
     * when it collides on ≥ 1 band, so recall amplifies as 1-(1-p^bits)^bands
     * instead of the single-projection p^bits (tunable by bands, vs the
     * hamming-radius multiprobe of [[annLsh]] which re-scans neighbor
-    * buckets). */
+    * buckets). Scale note (r08 sweep, PERF_NOTES): `bits` fixes the bucket
+    * space at 2^bits per band, so occupancy — and within-bucket candidate
+    * pairs, ~quadratically — grows with the corpus. Tune
+    * bits ≈ log2(N / target_occupancy): 8 at the sf0.01-0.1 fixtures, 12 at
+    * sf1, +~3 per further 10×. The oracle is generated from the same
+    * constants and follows automatically. */
   def bandBuckets(v: Column, bands: Int = 4, bits: Int = 8): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),

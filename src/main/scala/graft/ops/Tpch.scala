@@ -95,7 +95,13 @@ object Tpch {
     * spreads over S reducers instead of melting one. Result is identical to
     * the plain join — the oracle IS the plain join. AQE's runtime skew
     * splitting covers moderate skew; explicit salting is the insurance for
-    * keys hot enough to overwhelm a single task even after splitting. */
+    * keys hot enough to overwhelm a single task even after splitting.
+    * Scale note (r08 sweep, PERF_NOTES): this naive form replicates the
+    * WHOLE dim ×S, so its cost grows S× faster than the dim (1.6→8.2s at
+    * 10×, the join flipping broadcast→shuffle). The production form runs a
+    * hot-key detection pass first (the [[Custom.mgHeavyHitters]] shape) and
+    * salts ONLY the detected keys, plain-joining the cold remainder —
+    * constant extra volume instead of ×S. */
   val saltedJoin: Q = (s, d) => {
     val S = 8
     val li = Tables(s, d, "lineitem")

@@ -84,6 +84,26 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         coalesce(col("tier"), lit("unknown")).as("tier"))
 
+  /** Stream-static AS-OF enrich — the streaming face of the native as-of
+    * operator's semantics ([[graft.plans.AsOfJoinExec]]): each event picks
+    * the LATEST static-side timestamp at-or-before its own event time. The
+    * static side pre-aggregates to one sorted timestamp array per key and
+    * BROADCASTS (the [[enrichWithTier]] shape), so the stream side never
+    * shuffles and carries ZERO streaming state; the per-row lookup is
+    * built-in array functions (filter + try_element_at(-1)) — codegen'd,
+    * null when no prior row exists, exactly the batch as-of's left-outer
+    * match rule. At stream scale the broadcast is bounded by #keys × mean
+    * history length, not stream volume; for deep per-key histories swap the
+    * linear filter for a binary-search Expression — same plan otherwise. */
+  def asofEnrich(events: DataFrame, signups: DataFrame): DataFrame = {
+    val dim = signups.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("ts"))).as("s_history"))
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("signup_ts",
+        try_element_at(filter(col("s_history"), x => x <= col("ts")), lit(-1)))
+      .drop("s_history")
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
     * stateful-operator extension point (KeyValueGroupedDataset state API).
     * A session closes when a later event for the key arrives more than `gap`

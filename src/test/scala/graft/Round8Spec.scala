@@ -80,6 +80,43 @@ class Round8Spec extends AnyFunSuite {
     }, "fixture must also contain beyond-tolerance matches, or the bound tests nothing")
   }
 
+  // ---- SpaceSaving approx-top-k sketch ----
+
+  test("space saving: overestimate/witness bounds hold and heavy items survive eviction") {
+    import spark.implicits._
+    // Zipf-ish planted stream (item i ~ 400/i occurrences) with m=8 counters
+    // over 40 distinct items: evictions fire constantly, across 4 partials.
+    val stream = (1 to 40).flatMap(i => Seq.fill(400 / i)(s"item$i"))
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = stream.size.toLong
+    val m = 8
+    val out = stream.toDF("tok").as[String].repartition(4)
+      .groupByKey(_ => 0)
+      .agg(new ops.Custom.SpaceSaving(m, m).toColumn.name("top"))
+      .collect().head._2
+    assert(out.nonEmpty && out.size <= m)
+    out.foreach { case (item, est, err) =>
+      val t = truth(item)
+      assert(t <= est, s"$item: est $est must overestimate true count $t")
+      assert(est - err <= t, s"$item: est-err ${est - err} must lower-bound true count $t")
+    }
+    val survivors = out.map(_._1).toSet
+    truth.filter(_._2 > 2 * n / m).keys.foreach(h =>
+      assert(survivors.contains(h), s"heavy item $h (true ${truth(h)}) must survive"))
+  }
+
+  test("space saving: below-capacity summaries are exact under any partitioning") {
+    import spark.implicits._
+    val stream = (1 to 5).flatMap(i => Seq.fill(i * 7)(s"t$i"))
+    def run(parts: Int) = stream.toDF("tok").as[String].repartition(parts)
+      .groupByKey(_ => 0)
+      .agg(new ops.Custom.SpaceSaving(32, 5).toColumn.name("top"))
+      .collect().head._2
+    val expected = (1 to 5).map(i => (s"t$i", i * 7L, 0L)).sortBy(t => (-t._2, t._1))
+    assert(run(1) == expected && run(8) == expected,
+      "below capacity the sketch must be the exact counts with zero error, any merge tree")
+  }
+
   // ---- persisted canonical dedup store ----
 
   test("dedup store: day-2 probe output is exactly the recompute-everything incremental dedup") {
