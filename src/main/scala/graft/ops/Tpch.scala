@@ -116,6 +116,39 @@ object Tpch {
       .orderBy("o_orderpriority")
   }
 
+  /** Hot-key-only salted skew join — the PRODUCTION form of [[saltedJoin]],
+    * added after the r08 scaling sweep measured the naive form's ×S
+    * whole-dim replication growing 5× at 10× data (PERF_NOTES r08): a
+    * map-side-combined detection pass finds the keys heavy enough to
+    * overwhelm one reducer (here: per-order lineitem count ≥ 6 — the
+    * fixture's top fan-out band; in production the threshold is rows-per-
+    * task-budget, or the [[Custom.mgHeavyHitters]] sketch replaces the
+    * exact pass), the tiny hot-key set BROADCASTS to both sides, and only
+    * hot keys salt/replicate — the cold 99%+ flows through the plain
+    * equi-join path with salt 0. Extra shuffle volume is S× the HOT subset
+    * only, constant in the dim size. Result identical to the plain join at
+    * any threshold (the oracle IS the plain join, same as q_salted_join). */
+  val saltedHotJoin: Q = (s, d) => {
+    val S = 8
+    val li = Tables(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 6).select(col("l_orderkey").as("hk"))
+    val fact = li.join(broadcast(hot), col("l_orderkey") === col("hk"), "left")
+      .withColumn("salt", when(col("hk").isNotNull,
+        pmod(hash(col("l_linenumber"), col("l_partkey")), lit(S))).otherwise(lit(0)))
+      .drop("hk")
+    val dim = ord.join(broadcast(hot), col("o_orderkey") === col("hk"), "left")
+      .withColumn("salt", explode(when(col("hk").isNotNull,
+        sequence(lit(0), lit(S - 1))).otherwise(array(lit(0)))))
+      .drop("hk")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q17 shape — small-quantity-order revenue: lineitems of one brand's
     * parts whose quantity is below 20% of that part's average quantity.
     * The correlated AVG subquery becomes one groupBy on the fact's join key
@@ -615,6 +648,7 @@ object Tpch {
     "q_tpch17" -> tpch17,
     "q_tpch18" -> tpch18,
     "q_salted_join" -> saltedJoin,
+    "q_salted_hotkey" -> saltedHotJoin,
     "q_profile" -> profile,
   )
 
@@ -664,6 +698,8 @@ object Tpch {
     "q_tpch18" ->
       """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice, sum_qty FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty > 250) b JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_salted_hotkey" ->
       """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, round(sum(l_extendedprice), 2) AS sum_price, CAST(coalesce(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_disc, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags FROM lineitem""",

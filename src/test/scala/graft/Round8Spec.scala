@@ -80,6 +80,22 @@ class Round8Spec extends AnyFunSuite {
     }, "fixture must also contain beyond-tolerance matches, or the bound tests nothing")
   }
 
+  // ---- hot-key-only salted join ----
+
+  test("salted hotkey join: equals the plain join and the naive ×S form; hot path actually fires") {
+    import spark.implicits._
+    val hotCount = Tables(spark, sf, "lineitem")
+      .groupBy("l_orderkey").count().filter(col("count") >= 6).count()
+    assert(hotCount > 0, "fixture must contain hot keys or the salting path tests nothing")
+    val plain = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(ops.Tpch.saltedHotJoin(spark, sf).collect().toSeq == plain)
+    assert(ops.Tpch.saltedJoin(spark, sf).collect().toSeq == plain)
+  }
+
   // ---- SpaceSaving approx-top-k sketch ----
 
   test("space saving: overestimate/witness bounds hold and heavy items survive eviction") {
