@@ -70,11 +70,14 @@ object AsOf {
     * `outer = true` emits unmatched left rows null-extended (DuckDB
     * `ASOF LEFT JOIN`); `tolerance` (native time units — micros for
     * timestamps) rejects matches older than `leftTime - tolerance`,
-    * DuckDB-mirrored as a post-ASOF `epoch_us` gap predicate.
+    * DuckDB-mirrored as a post-ASOF `epoch_us` gap predicate;
+    * `forward = true` matches the EARLIEST right row at-or-after instead
+    * (DuckDB `ASOF JOIN ... ON l.ts <= r.ts`).
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, leftKey: String,
                      rightKey: String, leftTime: String, rightTime: String,
-                     outer: Boolean = false, tolerance: Option[Long] = None): DataFrame = {
+                     outer: Boolean = false, tolerance: Option[Long] = None,
+                     forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // Belt-and-braces for sessions built WITHOUT spark.sql.extensions (a
     // foreign driver session): the public `experimental` hooks accept the
@@ -94,7 +97,7 @@ object AsOf {
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey), attr(lp, leftTime), attr(rp, rightTime),
-        outer, tolerance))
+        outer, tolerance, forward))
   }
 
   /** [[purchaseAsofSignup]] re-expressed on the native operator — same
@@ -148,6 +151,24 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of: each signup matched to the user's FIRST purchase
+    * at-or-after it — the "time to first conversion" attribution query.
+    * Oracle: DuckDB ASOF with the inequality flipped
+    * (`s.ts <= p.ts` picks the nearest later purchase). */
+  val signupToFirstPurchase: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("p_value"))
+    asofJoinNative(signups, purchases, "user_id", "p_user_id", "ts", "purchase_ts",
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("ts").as("s_ts"),
+        col("purchase_ts"), col("p_value"))
+      .orderBy("event_id")
+  }
+
   /** Each purchase matched to the user's latest signup at-or-before it. */
   val purchaseAsofSignup: Q = (s, d) => {
     val ev = Tables(s, d, "events")
@@ -166,6 +187,7 @@ object AsOf {
     "q_asof_native" -> purchaseAsofSignupNative,
     "q_asof_native_outer" -> purchaseAsofSignupOuter,
     "q_asof_tolerance" -> purchaseAsofTolerance,
+    "q_asof_forward" -> signupToFirstPurchase,
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,5 +199,7 @@ object AsOf {
       """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts ORDER BY event_id""",
     "q_asof_tolerance" ->
       s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'), s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup') SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS p_ts, p.value, CAST(s.ts AS TIMESTAMP) AS signup_ts FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts WHERE epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) <= $ToleranceMicros ORDER BY event_id""",
+    "q_asof_forward" ->
+      """WITH s AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'), p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') SELECT s.event_id, s.user_id, CAST(s.ts AS TIMESTAMP) AS s_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value AS p_value FROM s ASOF JOIN p ON s.user_id = p.user_id AND s.ts <= p.ts ORDER BY event_id""",
   )
 }

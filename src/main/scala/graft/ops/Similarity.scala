@@ -143,10 +143,11 @@ object Similarity {
     * expensive half, so the dedup goes first). One shuffle on (band,bucket),
     * one on the pair key; fully deterministic → DuckDB-oracle-checked,
     * unlike the fixture-threshold [[embedNearDup]] demo this upgrades. */
-  def embedNearDupBanded(embIn: DataFrame, threshold: Double): DataFrame = {
+  def embedNearDupBanded(embIn: DataFrame, threshold: Double,
+                         bands: Int = 4, bits: Int = 8): DataFrame = {
     val eb = embIn
       .select(col("vec_id"), col("embedding"),
-        explode(bandBuckets(col("embedding"))).as("bb"))
+        explode(bandBuckets(col("embedding"), bands, bits)).as("bb"))
       .select(col("vec_id"), col("embedding"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = eb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),

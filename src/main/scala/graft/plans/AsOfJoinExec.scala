@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, T
   * emit with a null-extended right side (DuckDB ASOF LEFT JOIN).
   * `tolerance` drops (inner) or null-extends (outer) matches with
   * `leftTime - rightTime > tolerance`; since the candidate is the latest
-  * qualifying right row, no earlier row could qualify either.
+  * qualifying right row, no earlier row could qualify either. `forward`
+  * flips the direction (earliest right at-or-after; tolerance bounds
+  * `rightTime - leftTime`) — see [[AsOfJoinPlan]].
   */
 case class AsOfJoinExec(
     leftKey: Expression,
@@ -40,6 +42,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     outer: Boolean,
     tolerance: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -93,44 +96,84 @@ case class AsOfJoinExec(
       // consume it; rows are only copied when retained as the candidate
       // (the underlying iterator reuses its row object).
       val rBuf = rIter.buffered
-      var candKey: InternalRow = null
-      var candRow: InternalRow = null
-      var candTime: Long = 0L
 
-      lIter.flatMap { lRow =>
-        val lkRow = lKeyProj(lRow)
-        val ltRow = lTimeProj(lRow)
-        if (lkRow.isNullAt(0) || ltRow.isNullAt(0)) {
-          if (emitUnmatched) Iterator.single(proj(joined(lRow, nullRight)))
-          else Iterator.empty
-        } else {
-          // Advance the right side past every row that can still only match
-          // this or a later left row: key strictly before lk, or same key
-          // with time <= lt. The last same-key row consumed is the match
-          // candidate (right is time-sorted, so later consumed = later time).
-          var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val head = rBuf.head
-            val rkRow = rKeyProj(head)
-            val rtRow = rTimeProj(head)
-            if (rkRow.isNullAt(0) || rtRow.isNullAt(0)) { rBuf.next() } // never matches; skip
-            else {
-              val c = keyOrd.compare(rkRow, lkRow)
-              if (c < 0) { rBuf.next() } // stale key; discard
-              else if (c == 0 && timeOrd.compare(rtRow, ltRow) <= 0) {
-                val r = rBuf.next()
-                candKey = rkRow.copy()
-                candRow = r.copy()
-                if (tol.isDefined) candTime = getTime(rtRow)
-              } else advancing = false
+      if (forward) {
+        // Forward merge: each left row matches the FIRST same-key right row
+        // with time >= its own. The matching head is peeked, never consumed
+        // — it may also be the match for later (larger-time) left rows of
+        // the same key; rows are consumed only once no current-or-later
+        // left can match them (smaller key, or same key with smaller time).
+        lIter.flatMap { lRow =>
+          val lkRow = lKeyProj(lRow)
+          val ltRow = lTimeProj(lRow)
+          if (lkRow.isNullAt(0) || ltRow.isNullAt(0)) {
+            if (emitUnmatched) Iterator.single(proj(joined(lRow, nullRight)))
+            else Iterator.empty
+          } else {
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val head = rBuf.head
+              val rkRow = rKeyProj(head)
+              val rtRow = rTimeProj(head)
+              if (rkRow.isNullAt(0) || rtRow.isNullAt(0)) { rBuf.next() } // never matches; skip
+              else {
+                val c = keyOrd.compare(rkRow, lkRow)
+                if (c < 0) { rBuf.next() } // stale key; discard
+                else if (c == 0 && timeOrd.compare(rtRow, ltRow) < 0) { rBuf.next() } // too early
+                else advancing = false
+              }
             }
+            val matched = rBuf.hasNext && {
+              val head = rBuf.head
+              val rkRow = rKeyProj(head)
+              !rkRow.isNullAt(0) && keyOrd.compare(rkRow, lkRow) == 0 &&
+                tol.forall(t => getTime(rTimeProj(head)) - getTime(ltRow) <= t)
+            }
+            if (matched) Iterator.single(proj(joined(lRow, rBuf.head)))
+            else if (emitUnmatched) Iterator.single(proj(joined(lRow, nullRight)))
+            else Iterator.empty
           }
-          val matched = candRow != null && candKey != null &&
-            keyOrd.compare(candKey, lkRow) == 0 &&
-            tol.forall(t => getTime(ltRow) - candTime <= t)
-          if (matched) Iterator.single(proj(joined(lRow, candRow)))
-          else if (emitUnmatched) Iterator.single(proj(joined(lRow, nullRight)))
-          else Iterator.empty
+        }
+      } else {
+        var candKey: InternalRow = null
+        var candRow: InternalRow = null
+        var candTime: Long = 0L
+
+        lIter.flatMap { lRow =>
+          val lkRow = lKeyProj(lRow)
+          val ltRow = lTimeProj(lRow)
+          if (lkRow.isNullAt(0) || ltRow.isNullAt(0)) {
+            if (emitUnmatched) Iterator.single(proj(joined(lRow, nullRight)))
+            else Iterator.empty
+          } else {
+            // Advance the right side past every row that can still only match
+            // this or a later left row: key strictly before lk, or same key
+            // with time <= lt. The last same-key row consumed is the match
+            // candidate (right is time-sorted, so later consumed = later time).
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val head = rBuf.head
+              val rkRow = rKeyProj(head)
+              val rtRow = rTimeProj(head)
+              if (rkRow.isNullAt(0) || rtRow.isNullAt(0)) { rBuf.next() } // never matches; skip
+              else {
+                val c = keyOrd.compare(rkRow, lkRow)
+                if (c < 0) { rBuf.next() } // stale key; discard
+                else if (c == 0 && timeOrd.compare(rtRow, ltRow) <= 0) {
+                  val r = rBuf.next()
+                  candKey = rkRow.copy()
+                  candRow = r.copy()
+                  if (tol.isDefined) candTime = getTime(rtRow)
+                } else advancing = false
+              }
+            }
+            val matched = candRow != null && candKey != null &&
+              keyOrd.compare(candKey, lkRow) == 0 &&
+              tol.forall(t => getTime(ltRow) - candTime <= t)
+            if (matched) Iterator.single(proj(joined(lRow, candRow)))
+            else if (emitUnmatched) Iterator.single(proj(joined(lRow, nullRight)))
+            else Iterator.empty
+          }
         }
       }
     }

@@ -25,6 +25,12 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   *    outside the tolerance means no earlier row can qualify either, so
   *    the check is O(1) per left row. DuckDB mirrors it as a post-ASOF
   *    `epoch_us(l.ts) - epoch_us(r.ts) <= tol` predicate.
+  *  - `forward = true` flips the time direction (DuckDB
+  *    `ASOF JOIN ... ON l.ts <= r.ts`): each left row joins the EARLIEST
+  *    right row with the same key at-or-after its time — "first purchase
+  *    after signup" / next-quote semantics. The merge stays single-pass:
+  *    the matching right head is peeked, never consumed (it may also match
+  *    later left rows), and `tolerance` bounds `rightTime - leftTime`.
   *
   * The reference engine's analog is the hand-wired HashJoin build/probe
   * pair (`/root/reference/src/executor/mod.rs:310-381`) — here the
@@ -43,7 +49,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     outer: Boolean = false,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =

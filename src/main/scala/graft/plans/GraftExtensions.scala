@@ -12,8 +12,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, tol, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -80,6 +80,45 @@ class Round8Spec extends AnyFunSuite {
     }, "fixture must also contain beyond-tolerance matches, or the bound tests nothing")
   }
 
+  // ---- native as-of: forward direction ----
+
+  test("forward as-of: earliest at-or-after match, shared right rows, ties, tolerance, outer") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 4L, "a"),   // -> r1@5 (first >= 4)
+      (1L, 5L, "b"),   // tie -> r1@5 (>= is inclusive); same right row as "a"
+      (1L, 6L, "c"),   // -> r1@9
+      (2L, 50L, "d"),  // key 2's rights are all earlier -> no match
+      (3L, 1L, "e")    // key 3 absent on the right -> no match
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, "r1@5"), (1L, 9L, "r1@9"), (2L, 6L, "r2@6"))
+      .toDF("rk", "rt", "rtag")
+    val inner = ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt",
+        forward = true)
+      .select("tag", "rtag").as[(String, String)].collect().toMap
+    assert(inner == Map("a" -> "r1@5", "b" -> "r1@5", "c" -> "r1@9"))
+    // tolerance bounds rt - lt: "c" (gap 3) drops at tol=2, keeps at tol=3.
+    val tol2 = ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt",
+        forward = true, tolerance = Some(2L))
+      .select("tag", "rtag").as[(String, String)].collect().toMap
+    assert(tol2 == Map("a" -> "r1@5", "b" -> "r1@5"))
+    val outer = ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt",
+        forward = true, outer = true)
+      .select("tag", "rtag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(outer == Map("a" -> Some("r1@5"), "b" -> Some("r1@5"),
+      "c" -> Some("r1@9"), "d" -> None, "e" -> None))
+  }
+
+  test("forward as-of on events: every match is the first at-or-after purchase") {
+    val out = ops.AsOf.signupToFirstPurchase(spark, sf).collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      r.getTimestamp(r.fieldIndex("purchase_ts")).getTime >=
+        r.getTimestamp(r.fieldIndex("s_ts")).getTime
+    })
+  }
+
   // ---- hot-key-only salted join ----
 
   test("salted hotkey join: equals the plain join and the naive ×S form; hot path actually fires") {
@@ -131,6 +170,40 @@ class Round8Spec extends AnyFunSuite {
     val expected = (1 to 5).map(i => (s"t$i", i * 7L, 0L)).sortBy(t => (-t._2, t._1))
     assert(run(1) == expected && run(8) == expected,
       "below capacity the sketch must be the exact counts with zero error, any merge tree")
+  }
+
+  // ---- LSH bucket-width scaling lever ----
+
+  test("banded LSH: widening bits cuts candidate volume while planted dups still collide") {
+    // The r08 sweep's q_embed_neardup2 root cause: fixed 2^bits buckets
+    // densify as the corpus grows. This pins the documented lever — at the
+    // same corpus, bits=12 must generate strictly fewer candidate pairs
+    // than bits=8, and a planted exact duplicate (identical signs → same
+    // bucket in EVERY band at ANY width) must remain a candidate at both.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val emb = (Seq((0L, base), (1L, base.clone())) ++
+      (10L until 510L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))))
+      .toDF("vec_id", "embedding")
+    def candidates(bits: Int): Set[(Long, Long)] = {
+      val eb = emb.select(col("vec_id"),
+          explode(ops.Similarity.bandBuckets(col("embedding"), bands = 4, bits = bits)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      eb.select(col("vec_id").as("a"), col("band"), col("bucket"))
+        .join(eb.select(col("vec_id").as("b"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val c8 = candidates(8)
+    val c12 = candidates(12)
+    assert(c8.contains((0L, 1L)) && c12.contains((0L, 1L)),
+      "an exact duplicate must collide at any bucket width")
+    assert(c12.size < c8.size,
+      s"wider buckets must thin the candidate set: bits=8 → ${c8.size}, bits=12 → ${c12.size}")
   }
 
   // ---- persisted canonical dedup store ----
