@@ -347,8 +347,10 @@ object Dedup {
     * → portable hash → 64 affine min-hashes → 16 band keys → bucket
     * self-join candidates → exact-jaccard verify. Generated, not
     * hand-written — the permutation constants come from the same Scala
-    * expressions the Spark path uses. */
-  private val VerifiedPairsCte: String = {
+    * expressions the Spark path uses. Parameterized on the source relation
+    * (`documents`, or an upstream pipeline-stage CTE) so composite queries
+    * like [[TextOps.curationPipeline]] reuse the identical mirror. */
+  def verifiedPairsCte(src: String): String = {
     val permCols = (0 until NumHashes)
       .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
       .mkString(", ")
@@ -356,7 +358,7 @@ object Dedup {
       val cols = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS sig FROM sig"
     }.mkString(" UNION ALL ")
-    s"t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents), " +
+    s"t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM $src), " +
       s"sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM t), " +
       s"h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS h30 FROM sh), " +
       // MATERIALIZED: DuckDB inlines CTEs by default, so a CTE referenced k
@@ -368,11 +370,13 @@ object Dedup {
       s"bands AS ($bandRows), " +
       s"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       s"JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
-      s"tok AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM documents), " +
+      s"tok AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks FROM $src), " +
       s"verified AS MATERIALIZED (SELECT doc_a, doc_b, jac AS jaccard FROM (SELECT c.doc_a, c.doc_b, " +
       s"CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jac " +
       s"FROM cand c JOIN tok ta ON c.doc_a = ta.doc_id JOIN tok tb ON c.doc_b = tb.doc_id) v WHERE jac >= 0.6)"
   }
+
+  private val VerifiedPairsCte: String = verifiedPairsCte("documents")
 
   private val MinhashPairsOracle: String =
     s"WITH $VerifiedPairsCte SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b"
@@ -380,16 +384,18 @@ object Dedup {
   /** The connected-components oracle unrolls [[connectedComponents]]'s five
     * min-label iterations as five chained CTEs over the verified pairs;
     * [[ClusterKeepOracle]] extends the same chain with the representative
-    * argmax. */
-  private val LabelsCte: String = {
+    * argmax. Parameterized on the source relation like [[verifiedPairsCte]]. */
+  def labelsCte(src: String): String = {
     val iters = (1 to 5).map { i =>
       s"l$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (SELECT id, comp FROM l${i - 1} " +
         s"UNION ALL SELECT e.src AS id, l.comp FROM edges e JOIN l${i - 1} l ON e.dst = l.id) u GROUP BY id)"
     }.mkString(", ")
-    s"$VerifiedPairsCte, " +
+    s"${verifiedPairsCte(src)}, " +
       s"edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified), " +
       s"l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges), $iters"
   }
+
+  private val LabelsCte: String = labelsCte("documents")
 
   private val DedupClustersOracle: String =
     s"WITH $LabelsCte SELECT id AS doc_id, comp AS canonical_id FROM l5 ORDER BY doc_id"

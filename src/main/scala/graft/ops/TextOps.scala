@@ -723,6 +723,57 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** END-TO-END curation pipeline — the composed "day in the life" query a
+    * pretraining-data user actually runs, as ONE oracle-checked plan:
+    *
+    *   1. quality gate ([[qualityFilter]]'s integer-exact rule stack) —
+    *      per-row map, read bandwidth;
+    *   2. exact dedup (keep min doc_id per md5 fingerprint) — map-side-
+    *      combined groupBy on the digest + composite-key join back, never a
+    *      window on content;
+    *   3. near-dup drop: minhash → 16-band LSH → exact-Jaccard ≥ 0.6 →
+    *      connected components → keep each cluster's LONGEST doc (ties to
+    *      min doc_id, [[Dedup.clusterKeep]]'s rule), anti-join the rest out;
+    *   4. hash-based 80/10/10 split assignment ([[trainSplit]]'s rule) and
+    *      per-(split, lang) corpus accounting.
+    *
+    * The quality-gated, exact-deduped survivor set materializes once
+    * (localCheckpoint) and feeds signatures, verify, winner metadata, and
+    * the final anti-join — the multi-consumer analog of the iterative-
+    * lineage pattern. Every stage is engine-portable, so the WHOLE pipeline
+    * — LSH decisions included — replays in DuckDB via the parameterized
+    * [[Dedup.labelsCte]] mirror over the same staged CTEs. */
+  val curationPipeline: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val nw = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin(StopWords: _*)))
+    val meanW = (col("n_chars") - (nw - lit(1)).cast("long")).cast("double") / nw
+    val quality = Tables(s, d, "documents")
+      .filter(nw.between(30, 80) && meanW >= 3.0 && meanW <= 6.0 &&
+        stopCnt * lit(10) <= nw * lit(3))
+    val fps = quality.withColumn("fp", md5(col("text").cast("binary")))
+    val keepIds = fps.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val exact = fps.join(keepIds, Seq("fp", "doc_id")).drop("fp")
+      .localCheckpoint()
+    val cands = Dedup.candidatePairs(Dedup.minhashBands(Dedup.minhashSignatures(exact)))
+    val verified = Dedup.exactJaccard(cands, exact).filter(col("jaccard") >= 0.6)
+    val members = Dedup.connectedComponents(verified.select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .join(exact.select("doc_id", "n_chars"), Seq("doc_id"))
+    val winners = members.groupBy("cluster")
+      .agg(min_by(col("doc_id"),
+        struct((-col("n_chars")).as("neg"), col("doc_id").as("d"))).as("keep_id"))
+    val drops = members.join(winners, Seq("cluster"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    val h = pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(100L))
+    exact.join(drops, Seq("doc_id"), "left_anti")
+      .withColumn("split", when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
   /** Fixed-SIZE reproducible sample: the k documents with the smallest
     * salted portable hash — a deterministic priority sample (uniform-weight
     * Efraimidis–Spirakis), the fixed-budget companion to the rate-based
@@ -758,6 +809,7 @@ object TextOps {
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_bloom" -> dedupBloom,
     "q_dedup_store" -> dedupStore,
+    "q_curation_pipeline" -> curationPipeline,
     "q_pii_scrub" -> piiScrub,
     "q_contamination" -> contamination,
     "q_text_stats" -> textStats,
@@ -770,7 +822,34 @@ object TextOps {
     "q_langid" -> langId,
   )
 
+  /** The q_quality_filter keep predicate as DuckDB SQL (shared by the
+    * standalone gate's oracle and the pipeline mirror). */
+  private val QualityKeepSql =
+    "(len(str_split(text, ' ')) BETWEEN 30 AND 80) AND " +
+      "CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) >= 3.0 AND " +
+      "CAST(n_chars - (len(str_split(text, ' ')) - 1) AS DOUBLE) / len(str_split(text, ' ')) <= 6.0 AND " +
+      "len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 10 <= len(str_split(text, ' ')) * 3"
+
+  /** Stage-for-stage DuckDB mirror of [[curationPipeline]]: quality CTE →
+    * exact-dedup CTE → [[Dedup.labelsCte]] over the survivor set → winner
+    * argmax → anti-join → split accounting. */
+  private val CurationPipelineOracle: String =
+    s"WITH q AS (SELECT * FROM documents WHERE $QualityKeepSql), " +
+      "e AS MATERIALIZED (SELECT q.* FROM q JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM q GROUP BY 1) k " +
+      "ON md5(q.text) = k.fp AND q.doc_id = k.doc_id), " +
+      s"${Dedup.labelsCte("e")}, " +
+      "m AS (SELECT l5.id AS doc_id, l5.comp AS cluster, d.n_chars FROM l5 JOIN e d ON l5.id = d.doc_id), " +
+      "w AS (SELECT cluster, doc_id AS keep_id FROM (SELECT cluster, doc_id, " +
+      "row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk FROM m) x WHERE rk = 1), " +
+      "drops AS (SELECT m.doc_id FROM m JOIN w ON m.cluster = w.cluster WHERE m.doc_id <> w.keep_id), " +
+      "kept AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM drops)) " +
+      "SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split, lang, " +
+      "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+      "FROM (SELECT lang, n_chars, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h FROM kept) z " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
   val oracle: Map[String, String] = Map(
+    "q_curation_pipeline" -> CurationPipelineOracle,
     "q_priority_sample" ->
       """SELECT doc_id, lang, n_chars, ('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pri FROM documents ORDER BY pri, doc_id LIMIT 25""",
     "q_bpe_pairs" ->

@@ -172,6 +172,21 @@ class Round8Spec extends AnyFunSuite {
       "below capacity the sketch must be the exact counts with zero error, any merge tree")
   }
 
+  // ---- end-to-end curation pipeline ----
+
+  test("curation pipeline: stage accounting reconciles with the standalone gates") {
+    import spark.implicits._
+    val out = ops.TextOps.curationPipeline(spark, sf).collect().toSeq
+    val kept = out.map(_.getLong(out.head.fieldIndex("n_docs"))).sum
+    val qualityKept = ops.TextOps.qualityFilter(spark, sf).filter(col("keep")).count()
+    assert(kept > 0 && kept <= qualityKept,
+      "pipeline survivors must be a subset of the quality-gated set")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // the dedup stages must actually drop something at this fixture, or the
+    // pipeline degenerates to the quality gate alone
+    assert(kept < qualityKept, "fixture must exercise the dedup stages")
+  }
+
   // ---- LSH bucket-width scaling lever ----
 
   test("banded LSH: widening bits cuts candidate volume while planted dups still collide") {
