@@ -244,12 +244,14 @@ object Custom {
     * member of the sketch family: m counters; a full summary meeting a new
     * item evicts the minimum counter and charges its count as the
     * newcomer's overestimation error. Invariants (pinned in Round8Spec):
-    * `true ≤ est` and `est − err ≤ true` for every surviving item, and any
-    * item with true count > n/m survives. Merge follows Agarwal et al.,
-    * "Mergeable Summaries": common items add (est, err) pairwise; an item
-    * absent from a FULL summary may have been seen up to that summary's
-    * minimum count times, so it is charged (min, min) — both bounds
-    * survive any merge tree — then the union trims back to the top m.
+    * `true ≤ est` and `est − err ≤ true` for every surviving item under
+    * ANY merge tree; the classic survivor guarantee (every item with true
+    * count > n/m is present) holds exactly for a single summary and
+    * degrades by a bounded factor per merge level. Merge follows Agarwal
+    * et al., "Mergeable Summaries": common items add (est, err) pairwise;
+    * an item absent from a FULL summary may have been seen up to that
+    * summary's minimum count times, so it is charged (min, min) — which is
+    * what preserves both bounds — then the union trims back to the top m.
     * O(m) memory per group, map-side partial aggregation like any native
     * agg. When m exceeds the true domain no counter ever evicts, so est is
     * the exact count with err = 0 under ANY merge order — which is what

@@ -180,10 +180,13 @@ object TextOps {
     * shuffling the new batch only, never the accumulated corpus. (At 100 TB
     * the store is the large side; re-shuffling it every day is the dominant
     * cost the bucketed layout deletes. Round8Spec pins the zero-Exchange
-    * store side under a forced sort-merge anti-join. One residual: Spark
-    * does not trust write-time sortBy on read — a bucket may span several
-    * writer files — so a partition-local, network-free SortExec remains
-    * above the bucket scan.) The store
+    * store side under a forced sort-merge anti-join. The store writes ONE
+    * file per bucket (repartition on fp before bucketBy), which also makes
+    * the probe SORT-free — though only under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (SPARK-28595
+    * made the reader distrust write-time order by default); without it a
+    * partition-local, network-free SortExec remains above the bucket
+    * scan.) The store
     * lands in the JVM temp dir keyed by the data dir, rebuilt per run —
     * in production it is the maintained output of day N-1. Output (and
     * oracle) identical to [[dedupIncremental]]. */
@@ -198,7 +201,13 @@ object TextOps {
     val tbl = canonStoreName(d)
     val loc = s"${System.getProperty("java.io.tmpdir")}/$tbl"
     s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // repartition on fp BEFORE the bucketed write: task partitioning then
+    // coincides with bucket assignment, so each bucket is exactly ONE file
+    // — the precondition for Spark's reader to trust the write-time sortBy
+    // (FileSourceScanExec only reports sorted output for single-file
+    // buckets), which deletes the probe-side Sort as well as the Exchange.
     fps.filter(col("b") === 0).select("fp").distinct()
+      .repartition(StoreBuckets, col("fp"))
       .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
       .option("path", loc).mode("overwrite").saveAsTable(tbl)
     fps.filter(col("b") === 1)

@@ -137,13 +137,12 @@ class Round8Spec extends AnyFunSuite {
 
   // ---- SpaceSaving approx-top-k sketch ----
 
-  test("space saving: overestimate/witness bounds hold and heavy items survive eviction") {
+  test("space saving: overestimate/witness bounds hold under eviction and any merge tree") {
     import spark.implicits._
     // Zipf-ish planted stream (item i ~ 400/i occurrences) with m=8 counters
     // over 40 distinct items: evictions fire constantly, across 4 partials.
     val stream = (1 to 40).flatMap(i => Seq.fill(400 / i)(s"item$i"))
     val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val n = stream.size.toLong
     val m = 8
     val out = stream.toDF("tok").as[String].repartition(4)
       .groupByKey(_ => 0)
@@ -155,9 +154,28 @@ class Round8Spec extends AnyFunSuite {
       assert(t <= est, s"$item: est $est must overestimate true count $t")
       assert(est - err <= t, s"$item: est-err ${est - err} must lower-bound true count $t")
     }
+  }
+
+  test("space saving: single-summary guarantee — every item with count > n/m survives") {
+    import spark.implicits._
+    // In one partition the summary never trims, so the classic SpaceSaving
+    // guarantee is exact: any item with true frequency above n/m is present.
+    // (Under merging the error budget compounds per merge level — which is
+    // why the guarantee is asserted here and only the est/err BOUNDS, which
+    // do survive any merge tree, are asserted above.)
+    val stream = Seq.fill(600)("heavy") ++ (1 to 40).flatMap(i => Seq.fill(400 / i)(s"item$i"))
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = stream.size.toLong
+    val m = 8
+    val out = stream.toDF("tok").as[String].repartition(1)
+      .groupByKey(_ => 0)
+      .agg(new ops.Custom.SpaceSaving(m, m).toColumn.name("top"))
+      .collect().head._2
+    val heavies = truth.filter(_._2 > n / m).keys.toSet
+    assert(heavies.nonEmpty, "fixture must contain an above-threshold item")
     val survivors = out.map(_._1).toSet
-    truth.filter(_._2 > 2 * n / m).keys.foreach(h =>
-      assert(survivors.contains(h), s"heavy item $h (true ${truth(h)}) must survive"))
+    heavies.foreach(h =>
+      assert(survivors.contains(h), s"heavy item $h (true ${truth(h)}, n/m=${n / m}) must survive"))
   }
 
   test("space saving: below-capacity summaries are exact under any partitioning") {
@@ -240,7 +258,12 @@ class Round8Spec extends AnyFunSuite {
     // merge sort is the one residual cost; it is partition-local, spillable,
     // and carries no network.)
     val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.enabled" -> "false")
+      "spark.sql.adaptive.enabled" -> "false",
+      // Spark's reader distrusts write-time bucket order by default
+      // (SPARK-28595); with single-file buckets (the store repartitions on
+      // fp before writing) this legacy conf makes the scan report its
+      // sortBy order, deleting the probe-side Sort as well.
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
     val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -252,6 +275,9 @@ class Round8Spec extends AnyFunSuite {
       assert(storeSide.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.isEmpty,
         "the persisted store must never re-shuffle: its buckets ARE the join partitions")
+      assert(storeSide.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        "single-file-per-bucket + write-time sortBy: the probe must not re-sort the store")
       val scans = storeSide.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
       assert(scans.nonEmpty && scans.head.bucketedScan,
