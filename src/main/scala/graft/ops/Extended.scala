@@ -357,7 +357,61 @@ object Extended {
       .orderBy("r_regionkey")
   }
 
+  /** Partition-pruned scan over a hive-style partitioned layout — the
+    * ingest-side twin of predicate pushdown: documents staged once
+    * partitioned BY lang (each language = a directory), then a
+    * lang-filtered aggregate whose scan lists and reads ONLY the matching
+    * partition directories (`PartitionFilters` in the plan, pinned in
+    * Round8Spec). At 100 TB this is the difference between touching 1/5 of
+    * the corpus and all of it before a single row is decoded — and it is
+    * exactly the mechanism the IVF design notes rely on (`cell` as a
+    * partition column → probe = partition pruning). */
+  val partitionedScan: Q = (s, d) => {
+    val stage = stageOnce(s"part_docs_$d") { dir =>
+      Tables(s, d, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(dir)
+    }
+    s.read.parquet(stage)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** Co-located fact-fact join: BOTH sides staged once as tables bucketed
+    * (and single-file-per-bucket sorted) on the join key, so the sort-merge
+    * join reads bucket k of each table as one co-located partition — ZERO
+    * exchange on either side (pinned in Round8Spec under forced SMJ). This
+    * is the 100 TB answer to the recurring fact⋈fact shuffle: pay the
+    * bucketed layout once at ingest, and every subsequent orderkey join —
+    * daily incrementals included — moves no rows at all. The remaining
+    * exchange in the plan is the tiny post-join aggregate, not the facts. */
+  val bucketedJoin: Q = (s, d) => {
+    val B = 16
+    def ident(x: String) = x.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"graft_li_bkt_${ident(d)}"
+    val ordT = s"graft_ord_bkt_${ident(d)}"
+    stageOnce(s"bktjoin_$d") { dir =>
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      Tables(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(B, col("l_orderkey"))
+        .write.bucketBy(B, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$dir/li").mode("overwrite").saveAsTable(liT)
+      Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(B, col("o_orderkey"))
+        .write.bucketBy(B, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$dir/ord").mode("overwrite").saveAsTable(ordT)
+    }
+    s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_partitioned_scan" -> partitionedScan,
+    "q_bucketed_join" -> bucketedJoin,
     "q_csv_scan" -> csvScan,
     "q_jsonl_scan" -> jsonlScan,
     "q_lateral" -> lateralTopN,
@@ -386,6 +440,10 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_partitioned_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_csv_scan" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q_jsonl_scan" ->

@@ -190,6 +190,40 @@ class Round8Spec extends AnyFunSuite {
       "below capacity the sketch must be the exact counts with zero error, any merge tree")
   }
 
+  // ---- partitioned layout + co-located bucketed join ----
+
+  test("partitioned scan: the lang filter prunes partitions before any row is read") {
+    val p = ops.Extended.partitionedScan(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      "the lang predicate must become a partition filter, not a row filter")
+    // one partition directory selected: the scan must not carry lang as a
+    // pushed DATA filter (it doesn't exist in the files at all)
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang lives in the directory structure, never in the parquet pages")
+  }
+
+  test("bucketed fact-fact join: zero exchange on BOTH sides") {
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = ops.Extended.bucketedJoin(spark, sf).queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(joins.size == 1, s"expected one sort-merge join, got ${joins.size}")
+      for ((side, name) <- Seq(joins.head.left -> "left", joins.head.right -> "right")) {
+        assert(side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.isEmpty,
+          s"$name side must read its buckets as co-located join partitions, not re-shuffle")
+        val scans = side.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        assert(scans.nonEmpty && scans.head.bucketedScan, s"$name side must be a bucketed scan")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   // ---- end-to-end curation pipeline ----
 
   test("curation pipeline: stage accounting reconciles with the standalone gates") {
