@@ -80,6 +80,32 @@ class Round8Spec extends AnyFunSuite {
     }, "fixture must also contain beyond-tolerance matches, or the bound tests nothing")
   }
 
+  // ---- pushdown through the as-of variants ----
+
+  test("filter pushdown through OUTER and FORWARD as-of preserves results and reaches the scans") {
+    import org.apache.spark.sql.execution.FormattedMode
+    def base(outer: Boolean, forward: Boolean) = {
+      val ev = Tables(spark, sf, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val r = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      ops.AsOf.asofJoinNative(l, r, "user_id", "s_user_id", "ts", "signup_ts",
+        outer = outer, forward = forward)
+    }
+    for ((o, f) <- Seq((true, false), (false, true), (true, true))) {
+      val b = base(o, f)
+      val filtered = b.filter(col("user_id") === 7L)
+      val p = filtered.queryExecution.explainString(FormattedMode)
+      // Left-only key conjunct reaches the left scan and mirrors to the right.
+      assert("""EqualTo\(user_id,7\)""".r.findAllIn(p).size == 2,
+        s"outer=$o forward=$f: key predicate must reach BOTH scans")
+      val expected = b.collect().filter(r => !r.isNullAt(0) && r.getLong(0) == 7L).toSeq
+      assert(filtered.collect().toSeq == expected,
+        s"outer=$o forward=$f: pushdown must not change results")
+    }
+  }
+
   // ---- native as-of: forward direction ----
 
   test("forward as-of: earliest at-or-after match, shared right rows, ties, tolerance, outer") {
