@@ -194,12 +194,17 @@ object TextOps {
   def canonStoreName(d: String): String =
     "graft_canon_store_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Store root is PROCESS-private (the [[Extended.stageOnce]] rationale):
+    * the driver's Verify and a dev sbt JVM must never race on one path. */
+  private lazy val storeRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_store_").toString
+
   val dedupStore: Q = (s, d) => {
     val fps = Tables(s, d, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
         pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(2L)).as("b"))
     val tbl = canonStoreName(d)
-    val loc = s"${System.getProperty("java.io.tmpdir")}/$tbl"
+    val loc = s"$storeRoot/$tbl"
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     // repartition on fp BEFORE the bucketed write: task partitioning then
     // coincides with bucket assignment, so each bucket is exactly ONE file

@@ -42,6 +42,23 @@ class Round8Spec extends AnyFunSuite {
       "tooEarly" -> None, "noKey" -> None, "nullKey" -> None, "nullTime" -> None))
   }
 
+  test("composite-key as-of: multi-column keys work by struct packing") {
+    // The operator takes ONE key expression per side; multi-column keys
+    // compose by packing into a struct column first (structs are
+    // hash-partitionable and ordered field-by-field) — the documented
+    // migration path from multi-equality ASOF conditions.
+    import spark.implicits._
+    val left = Seq((1L, "eu", 9L, "a"), (1L, "us", 9L, "b"), (2L, "eu", 9L, "c"))
+      .toDF("uid", "region", "t", "tag")
+      .withColumn("k", struct(col("uid"), col("region")))
+    val right = Seq((1L, "eu", 5L, "r-eu1"), (1L, "us", 7L, "r-us1"), (2L, "us", 3L, "r-us2"))
+      .toDF("r_uid", "r_region", "rt", "rtag")
+      .withColumn("rk", struct(col("r_uid"), col("r_region")))
+    val out = ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rtag").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "r-eu1", "b" -> "r-us1"))
+  }
+
   // ---- native as-of: tolerance ----
 
   test("tolerance as-of: the bound is inclusive, rejects only stale candidates, and outer null-extends them") {
