@@ -65,6 +65,13 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  // The same observability contract as Spark's own join operators: the UI's
+  // plan graph shows per-node output cardinality, which is how a user spots
+  // an as-of join that matched nothing (or everything) at a glance.
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] =
+    Map("numOutputRows" ->
+      org.apache.spark.sql.execution.metric.SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
   /** Single-field time value as a long in the type's native unit (micros
     * for timestamps, days for dates). Only consulted when `tolerance` is
     * set; resolved once per partition, not per row. */
@@ -80,6 +87,7 @@ case class AsOfJoinExec(
     val tol = tolerance
     val emitUnmatched = outer
     val schema = output
+    val numOutputRows = longMetric("numOutputRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(leftKey), left.output)
@@ -97,7 +105,7 @@ case class AsOfJoinExec(
       // (the underlying iterator reuses its row object).
       val rBuf = rIter.buffered
 
-      if (forward) {
+      val joinedRows: Iterator[InternalRow] = if (forward) {
         // Forward merge: each left row matches the FIRST same-key right row
         // with time >= its own. The matching head is peeked, never consumed
         // — it may also be the match for later (larger-time) left rows of
@@ -176,6 +184,7 @@ case class AsOfJoinExec(
           }
         }
       }
+      joinedRows.map { r => numOutputRows += 1; r }
     }
   }
 }
