@@ -65,7 +65,7 @@ object TimeProbe {
     // Round-8 additions: the composed-vs-native as-of margin (the codegen'd
     // merge must keep/extend round 7's ~2x) and the four skew-safe
     // corpus-frequency rewrites vs their r7 bench records.
-    for (q <- Seq("q_salted_agg", "q_dedup_clusters", "q_salted_join",
+    for (q <- Seq("q_salted_agg", "q_dedup_clusters",
         "q_salted_hotkey", "q_rollup",
         "q_asof_join", "q_asof_native", "q_asof_forward", "q_bigram_q", "q_tfidf",
         "q_dup_ngrams", "q_source_stats", "q_ngram_jaccard")) {

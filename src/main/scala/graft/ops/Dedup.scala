@@ -227,12 +227,17 @@ object Dedup {
   /** Min-label propagation connected components over an undirected pair
     * graph: each iteration every node adopts the smallest component label
     * among itself and its neighbors (one join + one groupBy-min shuffle per
-    * iteration). Fixed `iterations` bounds cost; labels converge once
-    * iterations ≥ the longest chain in any cluster (near-dup clusters are
-    * shallow in practice). At 100 TB scale swap in the alternating
-    * large-star/small-star formulation (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") — same DataFrame shape. */
-  def connectedComponents(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    * iteration), and the loop runs UNTIL CONVERGENCE — zero labels changed
+    * — rather than a fixed round count (round 9; the fixed-5 version
+    * silently mislabeled any cluster whose label-propagation distance
+    * exceeded 5 — see the planted 9-node chain in DedupSpec). One iteration
+    * propagates a label one hop, so the round count is the largest
+    * cluster's eccentricity from its min-id node; `maxIterations` bounds a
+    * pathological graph (a 100 TB corpus with adversarially deep chains
+    * would swap in the alternating large-star/small-star formulation —
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * O(log²) rounds, same DataFrame shape). */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // Iterative DataFrame algorithms MUST truncate lineage each round:
     // `labels` appears twice per iteration (join + union), so without a
     // checkpoint the logical plan — and with it the whole upstream candidate
@@ -245,15 +250,31 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    for (_ <- 0 until iterations) {
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"))
-      labels = labels
+      val next = labels
         .union(viaNeighbor)
         .groupBy("id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
+      // Labels only ever decrease, so "any row strictly smaller than last
+      // round" IS the convergence test. Both sides are groupBy(id) outputs
+      // (checkpointing preserves partitioning), so this join adds no
+      // exchange — the per-iteration overhead is one co-partitioned join
+      // plus a count on a (id, long) table, not a data-sized pass.
+      converged = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
     }
+    if (!converged) System.err.println(
+      s"[graft] connectedComponents: NOT converged after $maxIterations iterations; " +
+        "labels may be non-minimal — raise maxIterations or use star-contraction")
     labels
   }
 

@@ -165,13 +165,34 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Corpus-adaptive band width: `bits = clamp(floor, cap,
+    * ceil(log2(n / targetOccupancy)))`, so expected bucket occupancy —
+    * and with it within-bucket candidate pairs per point — stays ~constant
+    * as the corpus grows (the r08 sweep measured fixed 8-bit buckets going
+    * 5.9× at 10× data; this derivation is the fix the sweep prescribed:
+    * 8 bits at the sf0.01-0.1 fixtures, 12 at sf1, 15 at sf10). The floor
+    * keeps the small-fixture output — and with it the DuckDB oracle, which
+    * hardcodes the 8-bit mirror — unchanged at sf0.01; the cap is the
+    * geometry bound bands × bits <= dim (4 × 16 = 64). */
+  def autoBits(n: Long, targetOccupancy: Int = 16, floor: Int = 8, cap: Int = 16): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(cap, math.max(floor, needed))
+  }
+
   // Threshold 0.40 (vs embedNearDup's 0.35): 4-band OR-amplification admits
   // ~16x the candidate pairs, so the demo threshold moves up the fixture's
   // cosine tail to keep the output a near-dup list rather than a pair dump
-  // (8 rows at sf0.01, 92 at sf0.1; real dedup runs ~0.95 — see the planted
-  // recall test in SimilaritySpec).
-  val embedNearDup2: Q = (s, d) =>
-    embedNearDupBanded(Tables(s, d, "embeddings"), 0.40)
+  // (8 rows at sf0.01; real dedup runs ~0.95 — see the planted recall test
+  // in SimilaritySpec). Band width derives from the corpus count (parquet
+  // metadata — no data scan) via [[autoBits]]: at the sf0.01 oracle fixture
+  // the floor pins bits = 8, exactly what the hardcoded DuckDB mirror
+  // computes, so the hash check is conclusive there while the same
+  // registered query stays scale-safe at every larger SF.
+  val embedNearDup2: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    embedNearDupBanded(emb, 0.40, bits = autoBits(emb.count()))
+  }
 
   /** Array scalar functions over the embedding column (size / index /
     * min / max) — all codegen'd, no UDFs. */

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Logical AS-OF join — the whole-operator extension tier the builder
   * contract reserves for semantics Spark's built-in operators can't
@@ -52,6 +53,25 @@ case class AsOfJoinPlan(
     tolerance: Option[Long] = None,
     forward: Boolean = false)
   extends BinaryNode {
+
+  // Fail at ANALYSIS time, not mid-job on an executor: the generated
+  // orderings and the tolerance time-getter are derived from the LEFT
+  // side's types but applied to right-side rows, so a type mismatch here
+  // would otherwise surface as silently wrong comparisons (e.g. timestamp
+  // micros ordered against raw longs) or a per-partition cast exception
+  // deep into execution. Structural comparison (names/nullability ignored):
+  // composite keys arrive as structs whose field NAMES differ per side by
+  // construction, and orderings only consult the value layout.
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftKey.dataType, rightKey.dataType, ignoreNullability = true),
+    s"as-of join key types must match: left ${leftKey.dataType} vs right ${rightKey.dataType}")
+  require(org.apache.spark.sql.types.DataType.equalsStructurally(
+      leftTime.dataType, rightTime.dataType, ignoreNullability = true),
+    s"as-of join time types must match: left ${leftTime.dataType} vs right ${rightTime.dataType}")
+  require(tolerance.isEmpty || (leftTime.dataType match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType | DateType | ShortType => true
+    case _ => false
+  }), s"as-of tolerance requires an integral or time-typed time column, got ${leftTime.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)

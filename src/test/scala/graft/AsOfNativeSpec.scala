@@ -75,6 +75,29 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out == Map("l-a" -> "r1@5", "l-b" -> "r1@7", "l-d" -> "r2@6"))
   }
 
+  test("type mismatches and unsupported tolerance types fail at analysis time, not mid-job") {
+    // The generated orderings and tolerance time-getter come from the LEFT
+    // side's types but run against right-side rows; AsOfJoinPlan must
+    // reject a mismatch when the plan is BUILT (ADVICE r08), never let it
+    // reach an executor.
+    import spark.implicits._
+    val l = Seq((1L, 5L)).toDF("k", "t")
+    val rTimeStr = Seq((1L, "5")).toDF("rk", "rt")
+    val rKeyInt = Seq((1, 5L)).toDF("rk", "rt")
+    val rStrTime = Seq((1L, "x")).toDF("rk", "rt")
+    intercept[IllegalArgumentException] {
+      ops.AsOf.asofJoinNative(l, rTimeStr, "k", "rk", "t", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      ops.AsOf.asofJoinNative(l, rKeyInt, "k", "rk", "t", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      val lStrTime = Seq((1L, "y")).toDF("k", "t")
+      ops.AsOf.asofJoinNative(lStrTime, rStrTime, "k", "rk", "t", "rt",
+        tolerance = Some(10L))
+    }
+  }
+
   test("null keys and times never match") {
     import spark.implicits._
     val left = Seq((Some(1L), Some(5L), "ok"), (None, Some(5L), "nullkey"),

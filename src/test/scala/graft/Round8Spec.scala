@@ -117,8 +117,13 @@ class Round8Spec extends AnyFunSuite {
       // Left-only key conjunct reaches the left scan and mirrors to the right.
       assert("""EqualTo\(user_id,7\)""".r.findAllIn(p).size == 2,
         s"outer=$o forward=$f: key predicate must reach BOTH scans")
-      val expected = b.collect().filter(r => !r.isNullAt(0) && r.getLong(0) == 7L).toSeq
-      assert(filtered.collect().toSeq == expected,
+      // Sort both sides before comparing (ADVICE r08): the two differently-
+      // optimized plans give no cross-plan row-order guarantee, so an
+      // unsorted Seq comparison is a latent flake if partitioning or AQE
+      // behavior shifts. event_id (column 2) is unique in the fixture.
+      def sorted(rows: Seq[org.apache.spark.sql.Row]) = rows.sortBy(_.getLong(2))
+      val expected = sorted(b.collect().filter(r => !r.isNullAt(0) && r.getLong(0) == 7L).toSeq)
+      assert(sorted(filtered.collect().toSeq) == expected,
         s"outer=$o forward=$f: pushdown must not change results")
     }
   }
@@ -314,6 +319,20 @@ class Round8Spec extends AnyFunSuite {
       "an exact duplicate must collide at any bucket width")
     assert(c12.size < c8.size,
       s"wider buckets must thin the candidate set: bits=8 → ${c8.size}, bits=12 → ${c12.size}")
+  }
+
+  test("autoBits: oracle-pinning floor at fixture sizes, ~+3 bits per decade, geometry cap") {
+    import ops.Similarity.autoBits
+    // Registered q_embed_neardup2 derives its band width from the corpus
+    // count; the sf0.01 oracle fixture (500 vectors) must land exactly on
+    // the floor that the hardcoded 8-bit DuckDB mirror assumes.
+    assert(autoBits(500) == 8, "sf0.01 fixture must pin the oracle's 8 bits")
+    assert(autoBits(5000) == 9)      // sf0.1
+    assert(autoBits(50000) == 12)    // sf1 — the r08 sweep's prescribed width
+    assert(autoBits(500000) == 15)   // sf10
+    assert(autoBits(5000000) == 16,  // bands x bits <= dim bounds the growth
+      "derived bits must cap at 16 (4 bands x 16 bits = 64 dims)")
+    assert(autoBits(0) == 8, "degenerate corpus must not underflow the floor")
   }
 
   // ---- persisted canonical dedup store ----
