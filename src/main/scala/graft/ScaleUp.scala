@@ -23,22 +23,34 @@ import org.apache.spark.sql.functions._
   *    dup density internally but no cross-replica near-dups — a 10× corpus
   *    with 10× clusters of the original sizes, not one degenerate 10×-deep
   *    cluster per document (which would be a quadratic adversary, not a
-  *    scale-up). n_chars is recomputed from the transformed text.
-  *  - embeddings: vectors rotate by `replica` positions — norm-preserving,
-  *    deterministic, direction-distinct — so ANN candidate structure grows
-  *    with the corpus instead of collapsing onto 10× copies of each point.
+  *    scale-up). n_chars is recomputed from the transformed text. The tag
+  *    letter is a per-GENERATION argument (r09): chaining sf0.1 →(x)→ sf1
+  *    →(y)→ sf10 keeps every (i, j) suffix combination distinct — with one
+  *    letter, generation-2 replica j of generation-1 replica 0 would
+  *    collide bit-identically with generation-2 replica 0 of generation-1
+  *    replica j, planting ~9 phantom exact-dup docs per original.
+  *  - embeddings: vectors rotate by `replica` positions AND sign-flip by a
+  *    murmur-hashed (tag, replica, position) ±1 mask (r09) — norm-
+  *    preserving, deterministic, direction-distinct, and COMPOSABLE:
+  *    rotation alone is a group, so two chained scale-ups collide whenever
+  *    i+j = i'+j' (285 phantom exact-dup vectors per source point at
+  *    ×100); the non-linear mask family has no such structure, so chained
+  *    generations stay direction-distinct and ANN candidate structure
+  *    grows with the corpus instead of collapsing onto copies.
   *  - events keep their time range (10× event density, same horizon), with
   *    event_id/user_id shifted; ts stays raw TIMESTAMP(NANOS)-as-long so
   *    [[Tables]] reads the output exactly like the driver's parquet.
   *
-  * Usage: `runMain graft.ScaleUp [srcDir] [dstDir] [replicas]`
-  * (defaults: /root/testdata/sf0.1 → benchdata/sf1 × 10).
+  * Usage: `runMain graft.ScaleUp [srcDir] [dstDir] [replicas] [tag]`
+  * (defaults: /root/testdata/sf0.1 → benchdata/sf1 × 10, tag "x";
+  * use a DIFFERENT tag per chained generation, e.g. "y" for sf1 → sf10).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("benchdata/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val tag = args.lift(3).getOrElse("x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,17 +107,27 @@ object ScaleUp {
     write("documents", replicate("documents") { (df, i) =>
       val text = if (i == 0) col("text")
         else concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit(s"x$i"))))
+          t => concat(t, lit(s"$tag$i"))))
       df.withColumn("doc_id", col("doc_id") + lit(i * dOff))
         .withColumn("text", text)
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
+    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).head.getInt(0)
     write("embeddings", replicate("embeddings") { (df, i) =>
       val e = col("embedding")
-      val rotated = if (i == 0) e
-        else concat(slice(e, i + 1, 10000), slice(e, 1, i))
+      val transformed = if (i == 0) e else {
+        val rotated = concat(slice(e, (i % dim) + 1, dim), slice(e, 1, i % dim))
+        // ±1 sign mask from a non-linear hash of (tag, replica, position):
+        // murmur has no additive structure, so masks from chained
+        // generations never cancel into a collision the way rotations do.
+        val mask = array((0 until dim).map { p =>
+          lit(if ((scala.util.hashing.MurmurHash3.productHash((tag, i, p)) & 1) == 0) 1.0f else -1.0f)
+        }: _*)
+        zip_with(rotated, mask, (x, m) => x * m)
+      }
       df.withColumn("vec_id", col("vec_id") + lit(i * vOff))
-        .withColumn("embedding", rotated.cast("array<float>"))
+        .withColumn("embedding", transformed.cast("array<float>"))
     })
     spark.stop()
   }
