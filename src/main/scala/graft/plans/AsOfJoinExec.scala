@@ -2,9 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Physical AS-OF join: a single-pass sort-merge over co-partitioned,
@@ -45,7 +47,7 @@ case class AsOfJoinExec(
     forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
@@ -186,5 +188,202 @@ case class AsOfJoinExec(
       }
       joinedRows.map { r => numOutputRows += 1; r }
     }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Whole-stage codegen (round 9). The operator produces from its two child
+  // RDDs (the SortMergeJoinExec input-iterator pattern) and generates the
+  // merge loop inline, handing column variables to `consume` — so filters /
+  // projections ABOVE the as-of fuse into the same generated function
+  // instead of crossing an iterator boundary per row. The interpreted
+  // `doExecute` above remains the fallback (codegen disabled, or a
+  // compile-error fallback at the WholeStageCodegen level).
+  // ---------------------------------------------------------------------------
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // Output row objects are reused across iterations (the generated unsafe
+  // projection writes into one buffer); buffering parents must copy.
+  override def needCopyResult: Boolean = true
+
+  /** Generate the evaluation of `e` (bound against `attrs`) against the row
+    * variable `row`. Each call mints fresh local variable names, so the same
+    * expression may be generated in several scopes. */
+  private def genEval(
+      ctx: CodegenContext, e: Expression, attrs: Seq[Attribute], row: String): ExprCode = {
+    ctx.currentVars = null
+    ctx.INPUT_ROW = row
+    BindReferences.bindReference(e, attrs).genCode(ctx)
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val rowCls = "InternalRow"
+    // The peeked-but-unconsumed right head. Mirrors the interpreted path's
+    // BufferedIterator: holding the reference (no copy) is safe because no
+    // further next() happens while it is held, and "consume" = null it out.
+    val rightHead = ctx.addMutableState(rowCls, "asofRightHead")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val keyDt = leftKey.dataType
+    val timeDt = leftTime.dataType
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+    val cmp = ctx.freshName("asofCmp")
+
+    val lk = genEval(ctx, leftKey, left.output, leftRow)
+    val lt = genEval(ctx, leftTime, left.output, leftRow)
+    // Right-head key/time for the advance loop (scoped inside the loop body).
+    val rk = genEval(ctx, rightKey, right.output, rightHead)
+    val rt = genEval(ctx, rightTime, right.output, rightHead)
+
+    // Backward-merge candidate state (unused in forward mode).
+    val candRow = if (forward) null else ctx.addMutableState(rowCls, "asofCandRow")
+
+    val mergeCode = if (forward) {
+      // Forward: advance past stale/too-early rows, then peek — the head is
+      // the match for this left row AND possibly for later same-key lefts.
+      val rk2 = genEval(ctx, rightKey, right.output, rightHead)
+      val rt2 = genEval(ctx, rightTime, right.output, rightHead)
+      val tolCheck = tolerance.map { t =>
+        s" && ((long) ${rt2.value}) - ((long) ${lt.value}) <= ${t}L"
+      }.getOrElse("")
+      s"""
+         |boolean $matched = false;
+         |if (!(${lk.isNull} || ${lt.isNull})) {
+         |  while (true) {
+         |    if ($rightHead == null) {
+         |      if (!$rightInput.hasNext()) break;
+         |      $rightHead = (InternalRow) $rightInput.next();
+         |    }
+         |    ${rk.code}
+         |    ${rt.code}
+         |    if (${rk.isNull} || ${rt.isNull}) { $rightHead = null; continue; }
+         |    int $cmp = ${ctx.genComp(keyDt, rk.value.toString, lk.value.toString)};
+         |    if ($cmp < 0) { $rightHead = null; continue; }
+         |    if ($cmp == 0 &&
+         |        ${ctx.genComp(timeDt, rt.value.toString, lt.value.toString)} < 0) {
+         |      $rightHead = null; continue;
+         |    }
+         |    break;
+         |  }
+         |  if ($rightHead != null) {
+         |    ${rk2.code}
+         |    ${rt2.code}
+         |    $matched = !${rk2.isNull} &&
+         |      ${ctx.genComp(keyDt, rk2.value.toString, lk.value.toString)} == 0$tolCheck;
+         |  }
+         |}
+       """.stripMargin
+    } else {
+      // Backward: consume every same-key right row with time <= left time;
+      // the LAST one consumed is the candidate (right is time-sorted). The
+      // candidate row is copied into class state; its key is buffered via
+      // addBufferedState (deep-copies strings/structs) so a later left row
+      // with a NEW key detects staleness by comparison, exactly like the
+      // interpreted path's candKey.
+      val candValid = ctx.addMutableState("boolean", "asofCandValid")
+      val candKey = ctx.addBufferedState(keyDt, "asofCandKey", rk.value.toString)
+      val candTime = if (tolerance.isDefined) {
+        ctx.addMutableState("long", "asofCandTime")
+      } else null
+      val candTimeStore =
+        if (tolerance.isDefined) s"$candTime = (long) ${rt.value};" else ""
+      val tolCheck = tolerance.map { t =>
+        s" && ((long) ${lt.value}) - $candTime <= ${t}L"
+      }.getOrElse("")
+      s"""
+         |boolean $matched = false;
+         |if (!(${lk.isNull} || ${lt.isNull})) {
+         |  while (true) {
+         |    if ($rightHead == null) {
+         |      if (!$rightInput.hasNext()) break;
+         |      $rightHead = (InternalRow) $rightInput.next();
+         |    }
+         |    ${rk.code}
+         |    ${rt.code}
+         |    if (${rk.isNull} || ${rt.isNull}) { $rightHead = null; continue; }
+         |    int $cmp = ${ctx.genComp(keyDt, rk.value.toString, lk.value.toString)};
+         |    if ($cmp < 0) { $rightHead = null; continue; }
+         |    if ($cmp == 0 &&
+         |        ${ctx.genComp(timeDt, rt.value.toString, lt.value.toString)} <= 0) {
+         |      ${candKey.code}
+         |      $candTimeStore
+         |      $candRow = (InternalRow) $rightHead.copy();
+         |      $candValid = true;
+         |      $rightHead = null;
+         |      continue;
+         |    }
+         |    break;
+         |  }
+         |  if ($candValid) {
+         |    $matched =
+         |      ${ctx.genComp(keyDt, candKey.value.toString, lk.value.toString)} == 0$tolCheck;
+         |  }
+         |}
+       """.stripMargin
+    }
+
+    val matchRow = if (forward) rightHead else candRow
+
+    // Left-side output columns: deferred — the parent evaluates only what it
+    // uses, in whatever scope its code lands.
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // Right-side output columns come from the matched row. Under `outer`
+    // they are guarded on `matched` (null-extended otherwise) so a single
+    // consume covers both outcomes.
+    ctx.currentVars = null
+    ctx.INPUT_ROW = matchRow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+      if (!outer) ev else {
+        val isNull = ctx.freshName("asofIsNull")
+        val value = ctx.freshName("asofValue")
+        val jt = CodeGenerator.javaType(a.dataType)
+        val guarded = code"""
+          |boolean $isNull = true;
+          |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+          |if ($matched) {
+          |  ${ev.code}
+          |  $isNull = ${ev.isNull};
+          |  $value = ${ev.value};
+          |}
+         """.stripMargin
+        ExprCode(guarded, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      }
+    }
+
+    val outputCode = if (outer) {
+      s"""
+         |$numOutput.add(1);
+         |${consume(ctx, leftVars ++ rightVars)}
+       """.stripMargin
+    } else {
+      s"""
+         |if ($matched) {
+         |  $numOutput.add(1);
+         |  ${consume(ctx, leftVars ++ rightVars)}
+         |}
+       """.stripMargin
+    }
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lk.code}
+       |  ${lt.code}
+       |  $mergeCode
+       |  $outputCode
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }

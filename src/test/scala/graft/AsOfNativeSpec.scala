@@ -75,6 +75,45 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(out == Map("l-a" -> "r1@5", "l-b" -> "r1@7", "l-d" -> "r2@6"))
   }
 
+  test("whole-stage codegen: the merge joins the fused stage, and the generated code compiles") {
+    // `*(id)` in simple-mode explain marks operators inside a
+    // WholeStageCodegen stage; before r09 the as-of broke the fused
+    // pipeline (no CodegenSupport) and rendered bare.
+    val df = ops.AsOf.purchaseAsofSignupNative(spark, sf)
+    // Under AQE the codegen stages are only collapsed into the FINAL plan,
+    // so materialize first and read the post-execution explain.
+    df.collect()
+    val simple = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(simple).isDefined,
+      s"AsOfJoin must carry a codegen stage marker:\n$simple")
+    // With fallback disabled, a Janino compile failure in the generated
+    // merge would surface as an error instead of silently reverting to the
+    // interpreted doExecute — so a green run here proves the generated code
+    // of EVERY variant (plain/outer/tolerance/forward) actually compiles
+    // and computes the same rows as the interpreted path.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import spark.implicits._
+      val left = Seq((1L, 5L, "a"), (1L, 9L, "b"), (2L, 1L, "c"), (3L, 9L, "d"))
+        .toDF("k", "t", "tag")
+      val right = Seq((1L, 3L, "r3"), (1L, 7L, "r7"), (2L, 6L, "r6")).toDF("rk", "rt", "rtag")
+      def run(outer: Boolean, tol: Option[Long], fwd: Boolean): Set[(String, Option[String])] =
+        ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt", outer, tol, fwd)
+          .select(col("tag"), col("rtag")).collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(run(outer = false, None, fwd = false) ==
+        Set(("a", Some("r3")), ("b", Some("r7"))))
+      assert(run(outer = true, None, fwd = false) ==
+        Set(("a", Some("r3")), ("b", Some("r7")), ("c", None), ("d", None)))
+      assert(run(outer = false, Some(2L), fwd = false) == Set(("a", Some("r3")), ("b", Some("r7"))))
+      assert(run(outer = false, Some(1L), fwd = false) == Set.empty[(String, Option[String])])
+      assert(run(outer = false, None, fwd = true) ==
+        Set(("a", Some("r7")), ("c", Some("r6"))))
+      assert(run(outer = true, Some(2L), fwd = true) ==
+        Set(("a", Some("r7")), ("b", None), ("c", None), ("d", None)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("type mismatches and unsupported tolerance types fail at analysis time, not mid-job") {
     // The generated orderings and tolerance time-getter come from the LEFT
     // side's types but run against right-side rows; AsOfJoinPlan must
