@@ -337,28 +337,37 @@ object Custom {
   }
 
   /** Heavy-hitter bigrams via the production two-pass pattern: pass 1 runs
-    * the MG sketch (one scan, map-side partial summaries, ≤ k-row result);
-    * pass 2 re-counts ONLY the ≤ k candidates exactly and applies the exact
-    * threshold cnt·k > n. MG guarantees every above-threshold item is in
-    * the candidate set under any merge order, and the threshold decision
-    * uses exact counts — so the final output equals the plain exact query,
-    * deterministic and DuckDB-oracle-checked even though the sketch's
-    * internal estimates are not (merge-invariance of the output is pinned
-    * in SketchSpec). k=800 sits below the fixture's ~920 distinct bigrams,
-    * so decrements genuinely fire. At 100 TB pass 2's candidate set
-    * broadcasts and both passes are one scan each. */
+    * the MG sketch AND the corpus total in ONE typed aggregation (one scan,
+    * map-side partial summaries, a single ≤ k-candidate row); pass 2
+    * re-counts ONLY the ≤ k candidates exactly — the broadcast semi-join
+    * goes BEFORE the groupBy, so the exact-count shuffle carries at most k
+    * distinct bigrams per partition instead of every distinct bigram in the
+    * corpus — and applies the exact threshold cnt·k > n. MG guarantees
+    * every above-threshold item is in the candidate set under any merge
+    * order, and the threshold decision uses exact counts — so the final
+    * output equals the plain exact query, deterministic and
+    * DuckDB-oracle-checked even though the sketch's internal estimates are
+    * not (merge-invariance of the output is pinned in SketchSpec). k=800
+    * sits below the fixture's ~920 distinct bigrams, so decrements
+    * genuinely fire. The sketch row is localCheckpoint'd so its two
+    * consumers (candidate set, total) don't each re-run the scan: exactly
+    * two corpus passes at any scale (the r09 sf10 sweep measured the prior
+    * three-pass/full-shuffle shape at 6.6× for 10× data — the worst ratio
+    * in the sweep — and this rewrite is its prescription). */
   val mgHeavyHitters: Q = (s, d) => {
     import s.implicits._
     val K = 800
     val bgs = Tables(s, d, "documents")
       .select(explode(Dedup.shingles(col("text"), n = 2)).as("bg"))
-    val cand = bgs.as[String].groupByKey(_ => 0)
-      .agg(new MisraGries(K).toColumn.name("cands"))
-      .toDF("g", "cands")
-      .select(explode(col("cands")).as("bg"))
-    val total = bgs.agg(count(lit(1)).as("n_total"))
-    bgs.groupBy("bg").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(cand), "bg")
+    val sketch = bgs.as[String].groupByKey(_ => 0)
+      .agg(new MisraGries(K).toColumn.name("cands"),
+        count(lit(1)).as[Long].name("n_total"))
+      .toDF("g", "cands", "n_total")
+      .localCheckpoint()
+    val cand = sketch.select(explode(col("cands")).as("bg"))
+    val total = sketch.select(col("n_total"))
+    bgs.join(broadcast(cand), "bg")
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * lit(K.toLong) > col("n_total"))
       .select(col("bg"), col("cnt"))

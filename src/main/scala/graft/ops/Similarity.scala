@@ -93,10 +93,10 @@ object Similarity {
     * survives 100 TB (never all-pairs; bucket width tunes recall/cost).
     * Approximate by construction → rows-only check; recall proven on planted
     * duplicates in SimilaritySpec. */
-  def embedNearDupPairs(embIn: DataFrame, threshold: Double): DataFrame = {
+  def embedNearDupPairs(embIn: DataFrame, threshold: Double, bits: Int = 8): DataFrame = {
     val emb = embIn
       .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", signBucket(col("embedding")))
+      .withColumn("bucket", signBucket(col("embedding"), bits))
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -111,9 +111,16 @@ object Similarity {
   // Threshold 0.35: real dedup uses ~0.95+, but the driver fixtures are
   // i.i.d. gaussians (no true near-dups), so the demo threshold sits where
   // the fixture's bucket-mate cosine tail produces output; recall at a real
-  // threshold is proven on planted duplicates in SimilaritySpec.
-  val embedNearDup: Q = (s, d) =>
-    embedNearDupPairs(Tables(s, d, "embeddings"), 0.35)
+  // threshold is proven on planted duplicates in SimilaritySpec. Bucket
+  // width derives from the corpus count via [[autoBits]] (r09: the sf10
+  // sweep measured the fixed 8-bit bucket space going 6.3× at 10× data —
+  // the same quadratic-occupancy tail autoBits already fixed for
+  // [[embedNearDup2]]); the floor pins bits = 8 at the sf0.01 oracle
+  // fixture, where the hardcoded 8-bit DuckDB mirror runs.
+  val embedNearDup: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    embedNearDupPairs(emb, 0.35, bits = autoBits(emb.count()))
+  }
 
   /** OR-amplified sign-LSH bands: `bands` independent `bits`-dim sign
     * projections, band i reading dims [i·bits+1, (i+1)·bits]. Emits one
