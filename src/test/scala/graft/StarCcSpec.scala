@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Star-contraction connected components ([[ops.Dedup.connectedComponentsStar]]):
+  * label agreement with the min-label propagation twin on random graphs,
+  * and the O(log depth) round bound that is its reason to exist. */
+class StarCcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("doc_a", "doc_b")
+  }
+
+  private def labelsOf(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction equals min-label propagation on seeded random graphs") {
+    for (seed <- Seq(1, 7, 42); n <- Seq(40, 120)) {
+      val rnd = new scala.util.Random(seed)
+      // ~0.8 edges per node: sparse enough for many components, dense
+      // enough for multi-node ones; plus a few self-pairs (singletons).
+      val pairs = Seq.fill((n * 0.8).toInt)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq.fill(3)({ val x = rnd.nextInt(n).toLong; (x, x) })
+      val star = labelsOf(ops.Dedup.connectedComponentsStar(df(pairs)))
+      val minl = labelsOf(ops.Dedup.connectedComponents(df(pairs)))
+      assert(star == minl, s"seed=$seed n=$n: star and min-label disagree")
+    }
+  }
+
+  test("a 33-node path converges in O(log depth) alternations, all labeled to the minimum") {
+    // Min-label propagation needs 32 rounds here (one hop per round); star
+    // contraction at least halves every tree's height per LS+SS pair.
+    val chain = (0L until 32L).map(i => (i, i + 1))
+    val (labels, rounds) = ops.Dedup.starContraction(df(chain))
+    assert(labelsOf(labels) == (0L to 32L).map(_ -> 0L).toMap)
+    assert(rounds <= 8, s"expected logarithmic convergence, took $rounds alternations")
+  }
+
+  test("components, singletons, and an empty graph label correctly") {
+    val pairs = Seq((10L, 20L), (20L, 30L), (5L, 6L), (99L, 99L))
+    val got = labelsOf(ops.Dedup.connectedComponentsStar(df(pairs)))
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 5L -> 5L, 6L -> 5L, 99L -> 99L))
+    assert(ops.Dedup.connectedComponentsStar(df(Seq.empty[(Long, Long)])).isEmpty)
+  }
+}
