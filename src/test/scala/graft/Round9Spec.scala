@@ -85,6 +85,37 @@ class Round9Spec extends AnyFunSuite {
       "auto-derived bits must equal the explicit 8-bit form at fixture scale")
   }
 
+  // ---- two-pass heavy hitters (sf10 sweep rewrite) ----
+
+  test("heavy hitters: candidate broadcast-join runs BELOW the exact-count aggregate") {
+    // The r09 sf10 sweep's worst ratio came from shuffling every distinct
+    // bigram through the exact count. The rewritten plan must filter to the
+    // <= K MG candidates (broadcast hash join) BEFORE the final aggregate,
+    // so the recount shuffle carries at most K bigrams per partition.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val plan = ops.Custom.mgHeavyHitters(spark, sf).queryExecution.executedPlan
+    val aggsAboveJoin = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.collectLeaves().nonEmpty && a.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }.nonEmpty => a
+    }
+    assert(aggsAboveJoin.nonEmpty,
+      "the exact-count HashAggregate must sit above the broadcast candidate join")
+    // And exactly two jobs touch the corpus: the fused MG+total pass runs
+    // eagerly at construction (localCheckpoint), leaving ONE documents scan
+    // in the remaining plan.
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(scans.size == 1,
+      s"post-sketch plan must scan documents exactly once, got ${scans.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   // ---- registered surface hygiene ----
 
   test("no registered query carries the naive x-S salted join; hotkey form remains") {
