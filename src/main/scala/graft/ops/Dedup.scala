@@ -503,13 +503,19 @@ object Dedup {
     * min-label iterations as five chained CTEs over the verified pairs;
     * [[ClusterKeepOracle]] extends the same chain with the representative
     * argmax. Parameterized on the source relation like [[verifiedPairsCte]]. */
-  def labelsCte(src: String): String = {
+  def labelsCte(src: String): String =
+    s"${verifiedPairsCte(src)}, ${minLabelChainCte("verified")}"
+
+  /** Just the edge + five-iteration min-label chain over any relation with
+    * (doc_a, doc_b) pair columns, ending in `l5 (id, comp)` — reused by the
+    * embedding-space cluster oracle ([[Similarity]]), which supplies its own
+    * candidate/verify CTEs. */
+  def minLabelChainCte(pairsRel: String): String = {
     val iters = (1 to 5).map { i =>
       s"l$i AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (SELECT id, comp FROM l${i - 1} " +
         s"UNION ALL SELECT e.src AS id, l.comp FROM edges e JOIN l${i - 1} l ON e.dst = l.id) u GROUP BY id)"
     }.mkString(", ")
-    s"${verifiedPairsCte(src)}, " +
-      s"edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified), " +
+    s"edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM $pairsRel UNION ALL SELECT doc_b AS src, doc_a AS dst FROM $pairsRel), " +
       s"l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM edges), $iters"
   }
 

@@ -201,6 +201,25 @@ object Similarity {
     embedNearDupBanded(emb, 0.40, bits = autoBits(emb.count()))
   }
 
+  /** Embedding-space dedup CLUSTERS (the SemDeDup shape — Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): the banded-LSH verified pairs feed
+    * the same min-label connected components the text pipeline uses, so
+    * semantically-duplicate vectors transitively resolve to one canonical
+    * vec_id — the keep-list a semantic dedup pass anti-joins against.
+    * Completes the embedding tier's symmetry with the text tier
+    * (q_minhash_pairs→q_dedup_clusters :: q_embed_neardup2→this). Scale
+    * shape: candidate volume is autoBits-bounded, CC shuffles only the
+    * verified pair graph — never the vectors. */
+  val embedClusters: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val pairs = embedNearDupBanded(emb, 0.40, bits = autoBits(emb.count()))
+    Dedup.connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
+      .orderBy("vec_id")
+  }
+
   /** Array scalar functions over the embedding column (size / index /
     * min / max) — all codegen'd, no UDFs. */
   val arrayFns: Q = (s, d) =>
@@ -484,6 +503,7 @@ object Similarity {
     "q_ann_lsh" -> annLsh,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup2" -> embedNearDup2,
+    "q_embed_clusters" -> embedClusters,
     "q_embed_stats" -> embedStats,
   )
 
@@ -525,6 +545,11 @@ object Similarity {
       s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cos_sim FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35 ORDER BY vec_a, vec_b""",
     "q_embed_neardup2" ->
       s"""WITH eb AS ($BandedEbSql), cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, round(CAST(list_cosine_similarity(ea.embedding, eb2.embedding) AS DOUBLE), 2) AS cos_sim FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b WHERE list_cosine_similarity(ea.embedding, eb2.embedding) >= 0.40 ORDER BY vec_a, vec_b""",
+    // Same candidate/verify CTEs as q_embed_neardup2, then Dedup's shared
+    // five-iteration min-label chain over the verified pair graph — the
+    // oracle replays the engine's exact cluster decisions end-to-end.
+    "q_embed_clusters" ->
+      s"""WITH eb AS ($BandedEbSql), cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), vp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b WHERE list_cosine_similarity(ea.embedding, eb2.embedding) >= 0.40), ${Dedup.minLabelChainCte("vp")} SELECT id AS vec_id, comp AS canonical_id FROM l5 ORDER BY vec_id""",
     "q_array_fns" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, CAST(embedding[1] AS DOUBLE) AS first_dim, CAST(list_min(embedding) AS DOUBLE) AS min_dim, CAST(list_max(embedding) AS DOUBLE) AS max_dim FROM embeddings ORDER BY vec_id""",
     "q_cosine_topk" ->
