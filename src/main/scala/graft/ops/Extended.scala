@@ -326,7 +326,7 @@ object Extended {
     * types, both wrong at 100 TB. */
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def stageOnce(key: String)(write: String => Unit): String =
+  private[ops] def stageOnce(key: String)(write: String => Unit): String =
     staged.computeIfAbsent(key, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft_stage_").toString
       write(dir)

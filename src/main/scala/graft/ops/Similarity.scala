@@ -258,13 +258,28 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Nearest-centroid cell assignment — the ingest half of IVF, shared by
+    * the computed-on-the-fly search ([[ivfSearch]]) and the partitioned
+    * store ([[ivfPruned]]). */
+  def ivfAssign(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        nanvl(graft.functions.Functions.cosineSim(col("embedding"), col("cemb")),
+          lit(-1.0)).as("cs"))
+    // argmax via max_by on (score, cent_id): deterministic under ties.
+    scored.groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cent_id"), struct(col("cs"), col("cent_id"))).as("cell"))
+  }
+
   /** IVF-style ANN core: assign every vector to its nearest "trained"
     * centroid (inverted-file cells), then score only the cells nearest the
     * query. One broadcast (centroids are tiny by construction), one map-side
     * combined groupBy for assignment, one broadcast semi-filter for the
     * probe — never a full scan at probe time. At 100 TB the assignment step
     * runs once at ingest and `cell` becomes a partition/cluster column, so a
-    * probe is partition pruning: it reads nProbe/nCentroids of the data. */
+    * probe is partition pruning: it reads nProbe/nCentroids of the data —
+    * [[ivfPruned]] is that path, registered and plan-pinned. */
   def ivfSearch(emb: DataFrame, cent: DataFrame, q: DataFrame,
                 nProbe: Int, k: Int): DataFrame = {
     // nanvl on both argmaxes: NaN (a zero-norm vector or centroid) sorts
@@ -272,14 +287,7 @@ object Similarity {
     // would win every assignment AND every probe. -1.0 loses to any real
     // cosine; the fixture has no degenerate vectors, so the guard is inert
     // there (the q_ivf_ann oracle needs no mirror of it).
-    val scored = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        nanvl(graft.functions.Functions.cosineSim(col("embedding"), col("cemb")),
-          lit(-1.0)).as("cs"))
-    // argmax via max_by on (score, cent_id): deterministic under ties.
-    val assign = scored.groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(col("cent_id"), struct(col("cs"), col("cent_id"))).as("cell"))
+    val assign = ivfAssign(emb, cent)
     val probes = cent.crossJoin(broadcast(q))
       .select(col("cent_id").as("cell"),
         nanvl(graft.functions.Functions.cosineSim(col("cemb"), col("qemb")),
@@ -305,6 +313,41 @@ object Similarity {
     val cent = Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
     ivfSearch(emb, cent, queryVector(s, d), nProbe = 2, k = 10)
+      .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF with `cell` as a PARTITION COLUMN — the ingest-time layout the
+    * [[ivfSearch]] scale notes promise, now registered and plan-pinned
+    * (Round9Spec) instead of claimed: assignment runs once (stageOnce, the
+    * [[Extended.partitionedScan]] pattern) and writes the vectors
+    * partitioned by cell, so a probe's `cell IN (...)` predicate is a
+    * PartitionFilter — the scan lists and reads ONLY the nProbe cell
+    * directories (2 of 16 here) before a single row is decoded. The probe
+    * cells come from scoring 16 centroids against one query vector — index
+    * METADATA, collected like a plan constant, not data. Output ≡
+    * [[ivfAnn]] by construction, so it shares that oracle verbatim. */
+  val ivfPruned: Q = (s, d) => {
+    val cent = Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val stage = Extended.stageOnce(s"ivf_cells_$d") { dir =>
+      val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      ivfAssign(emb, cent).write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    val q = queryVector(s, d)
+    val probeCells = cent.crossJoin(broadcast(q))
+      .select(col("cent_id"),
+        nanvl(graft.functions.Functions.cosineSim(col("cemb"), col("qemb")), lit(-1.0)).as("cs"))
+      .orderBy(col("cs").desc, col("cent_id")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    s.read.parquet(stage)
+      .filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.Functions.cosineSim(col("embedding"), col("qemb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
       .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
       .orderBy("vec_id")
   }
@@ -496,6 +539,7 @@ object Similarity {
     "q_embed_norm" -> embedNorm,
     "q_ivf_kmeans" -> ivfKmeans,
     "q_ivf_ann" -> ivfAnn,
+    "q_ivf_pruned" -> ivfPruned,
     "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
     "q_array_fns" -> arrayFns,
@@ -506,6 +550,12 @@ object Similarity {
     "q_embed_clusters" -> embedClusters,
     "q_embed_stats" -> embedStats,
   )
+
+  /** DuckDB mirror of the IVF search ([[ivfAnn]]); [[ivfPruned]] produces
+    * the identical result over the cell-partitioned store, so both entries
+    * share it. */
+  private val IvfAnnOracle: String =
+    """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings ORDER BY vec_id LIMIT 16), q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0), scored AS (SELECT e.vec_id, e.embedding, c.cent_id, CAST(list_cosine_similarity(e.embedding, c.cemb) AS DOUBLE) AS cs FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0), assign AS (SELECT vec_id, embedding, cent_id AS cell FROM (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id DESC) AS rn FROM scored) r WHERE rn = 1), probes AS (SELECT cent_id AS cell FROM cent CROSS JOIN q ORDER BY CAST(list_cosine_similarity(cemb, qemb) AS DOUBLE) DESC, cell LIMIT 2) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, q.qemb) AS DOUBLE) AS s FROM assign a JOIN probes p ON a.cell = p.cell CROSS JOIN q ORDER BY s DESC, a.vec_id LIMIT 10) t ORDER BY vec_id"""
 
   private val BucketSql: String =
     (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
@@ -533,8 +583,10 @@ object Similarity {
     // empirically; fixtures are fixed per engagement so the check is conclusive).
     "q_pq_search" ->
       """WITH ms AS (SELECT unnest(range(0, 4)) AS m), cb AS (SELECT m, code, list_transform(list_slice(ce, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS cw FROM (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 16) b CROSS JOIN ms), sv AS (SELECT vec_id, m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS sv FROM embeddings CROSS JOIN ms), scored AS (SELECT vec_id, s.m, code, list_sum(list_transform(range(1, 17), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d2 FROM sv s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM scored) r WHERE rn = 1), q AS (SELECT m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS qv FROM embeddings CROSS JOIN ms WHERE vec_id = 0), dtab AS (SELECT c.m, c.code, list_sum(list_transform(range(1, 17), i -> (cw[i] - qv[i]) * (cw[i] - qv[i]))) AS dd FROM cb c JOIN q ON c.m = q.m), sc AS (SELECT co.vec_id, max(CASE WHEN co.m = 0 THEN dd END) AS d0, max(CASE WHEN co.m = 1 THEN dd END) AS d1, max(CASE WHEN co.m = 2 THEN dd END) AS d2, max(CASE WHEN co.m = 3 THEN dd END) AS d3 FROM codes co JOIN dtab dt ON co.m = dt.m AND co.code = dt.code GROUP BY 1) SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM sc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
-    "q_ivf_ann" ->
-      """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings ORDER BY vec_id LIMIT 16), q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0), scored AS (SELECT e.vec_id, e.embedding, c.cent_id, CAST(list_cosine_similarity(e.embedding, c.cemb) AS DOUBLE) AS cs FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0), assign AS (SELECT vec_id, embedding, cent_id AS cell FROM (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id DESC) AS rn FROM scored) r WHERE rn = 1), probes AS (SELECT cent_id AS cell FROM cent CROSS JOIN q ORDER BY CAST(list_cosine_similarity(cemb, qemb) AS DOUBLE) DESC, cell LIMIT 2) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, q.qemb) AS DOUBLE) AS s FROM assign a JOIN probes p ON a.cell = p.cell CROSS JOIN q ORDER BY s DESC, a.vec_id LIMIT 10) t ORDER BY vec_id""",
+    // q_ivf_pruned is the same search over the cell-partitioned store —
+    // identical output by construction, so it shares the mirror verbatim.
+    "q_ivf_pruned" -> IvfAnnOracle,
+    "q_ivf_ann" -> IvfAnnOracle,
     "q_array_fns2" ->
       """SELECT vec_id, CAST(list_slice(embedding, 1, 4)[1] AS DOUBLE) AS head_first, CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_min, CAST(list_reverse(list_sort(list_slice(embedding, 1, 4)))[1] AS DOUBLE) AS head_max, CAST(list_reverse(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_last FROM embeddings ORDER BY vec_id""",
     "q_dim_stats" ->

@@ -116,6 +116,21 @@ class Round9Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  // ---- IVF over a cell-partitioned store ----
+
+  test("ivf pruned: the probe reads ONLY the nProbe cell directories (partition pruning)") {
+    val p = ops.Similarity.ivfPruned(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && """cell#\d+L? IN""".r.findFirstIn(p).isDefined,
+      s"the probe's cell predicate must be a partition filter:\n$p")
+    assert(!p.contains("PushedFilters: [In(cell"),
+      "cell lives in the directory structure, never in the parquet pages")
+    // And the pruned store search must agree with the computed-on-the-fly
+    // IVF search row-for-row (they share one oracle).
+    assert(ops.Similarity.ivfPruned(spark, sf).collect().toSeq ==
+      ops.Similarity.ivfAnn(spark, sf).collect().toSeq)
+  }
+
   // ---- registered surface hygiene ----
 
   test("no registered query carries the naive x-S salted join; hotkey form remains") {
