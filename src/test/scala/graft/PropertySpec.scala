@@ -90,6 +90,44 @@ class PropertySpec extends AnyFunSuite {
     assert(sampleIds.subsetOf(allIds) && sampleIds.nonEmpty)
   }
 
+  test("native as-of: generated and interpreted merges agree on random data, all variants") {
+    // The r09 CodegenSupport path re-implements the merge loop in generated
+    // Java; this property holds it to the interpreted doExecute (which
+    // AsOfNativeSpec in turn holds to the DuckDB-checked composed twin) on
+    // random inputs across outer x tolerance x direction. Right-side (k, t)
+    // pairs are deduped because the kept payload among exact time ties is
+    // legitimately plan-dependent (same convention as the composed model
+    // property above).
+    import spark.implicits._
+    val gen = for {
+      nLeft <- Gen.choose(0, 12)
+      nRight <- Gen.choose(0, 12)
+      lrows <- Gen.listOfN(nLeft, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 15L)))
+      rrows <- Gen.listOfN(nRight, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 15L)))
+      outer <- Gen.oneOf(false, true)
+      tol <- Gen.oneOf(Option.empty[Long], Some(3L))
+      fwd <- Gen.oneOf(false, true)
+    } yield (lrows, rrows, outer, tol, fwd)
+    check(Prop.forAllNoShrink(gen) { case (lrows, rrows, outer, tol, fwd) =>
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "eid")
+      val right = rrows.distinct
+        .map { case (k, t) => (k, t, t * 1000 + k) }.toDF("rk", "rt", "payload")
+      def run(): Set[(Long, Option[Long])] =
+        graft.ops.AsOf.asofJoinNative(left, right, "k", "rk", "t", "rt", outer, tol, fwd)
+          .collect()
+          .map(r => (r.getAs[Long]("eid"),
+            if (r.isNullAt(r.fieldIndex("payload"))) None
+            else Some(r.getAs[Long]("payload")))).toSet
+      val generated = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted =
+        try run()
+        finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      generated == interpreted
+    })
+  }
+
   test("unique-key inner join cardinality == range intersection size") {
     val gen = for {
       a <- Gen.choose(0, 300)
