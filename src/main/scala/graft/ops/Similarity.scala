@@ -302,11 +302,18 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF ANN top-10 against the vec_id=0 query vector. The 16 lowest-id
-    * vectors stand in for k-means-trained centroids (deterministic — the
+  /** IVF ANN top-10 against the vec_id=0 query vector, computing the
+    * vector→cell assignment ON THE FLY per query. The 16 lowest-id vectors
+    * stand in for k-means-trained centroids (deterministic — the
     * inverted-file plumbing, not the training loop, is what's exercised).
-    * Approximate → rows-only check; recall on planted neighbors asserted in
-    * SimilaritySpec. */
+    *
+    * TEST-ONLY since round 10 (VERDICT r09 "what's wrong" #1): the per-query
+    * full-corpus re-assignment is exactly the linear pass an inverted file
+    * exists to avoid — its cost rises with the corpus (PERF_NOTES: 0.73 →
+    * 1.11 s sf1→sf10) while the registered [[ivfPruned]] (same output, same
+    * oracle, assignment amortized to ingest) stays flat. Kept as a function
+    * because it IS the ingest-time assignment [[ivfPruned]] stages once, and
+    * SimilaritySpec pins output identity between the two paths. */
   val ivfAnn: Q = (s, d) => {
     val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"))
@@ -538,7 +545,6 @@ object Similarity {
     "q_pq_search" -> pqSearch,
     "q_embed_norm" -> embedNorm,
     "q_ivf_kmeans" -> ivfKmeans,
-    "q_ivf_ann" -> ivfAnn,
     "q_ivf_pruned" -> ivfPruned,
     "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
@@ -551,9 +557,9 @@ object Similarity {
     "q_embed_stats" -> embedStats,
   )
 
-  /** DuckDB mirror of the IVF search ([[ivfAnn]]); [[ivfPruned]] produces
-    * the identical result over the cell-partitioned store, so both entries
-    * share it. */
+  /** DuckDB mirror of the IVF search — registered under [[ivfPruned]], the
+    * cell-partitioned-store path; the test-only [[ivfAnn]] computes the
+    * identical result on the fly (identity pinned in SimilaritySpec). */
   private val IvfAnnOracle: String =
     """WITH cent AS (SELECT vec_id AS cent_id, embedding AS cemb FROM embeddings ORDER BY vec_id LIMIT 16), q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0), scored AS (SELECT e.vec_id, e.embedding, c.cent_id, CAST(list_cosine_similarity(e.embedding, c.cemb) AS DOUBLE) AS cs FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0), assign AS (SELECT vec_id, embedding, cent_id AS cell FROM (SELECT vec_id, embedding, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id DESC) AS rn FROM scored) r WHERE rn = 1), probes AS (SELECT cent_id AS cell FROM cent CROSS JOIN q ORDER BY CAST(list_cosine_similarity(cemb, qemb) AS DOUBLE) DESC, cell LIMIT 2) SELECT vec_id, round(CAST(s AS DOUBLE), 2) AS cos_sim FROM (SELECT a.vec_id, CAST(list_cosine_similarity(a.embedding, q.qemb) AS DOUBLE) AS s FROM assign a JOIN probes p ON a.cell = p.cell CROSS JOIN q ORDER BY s DESC, a.vec_id LIMIT 10) t ORDER BY vec_id"""
 
@@ -583,10 +589,7 @@ object Similarity {
     // empirically; fixtures are fixed per engagement so the check is conclusive).
     "q_pq_search" ->
       """WITH ms AS (SELECT unnest(range(0, 4)) AS m), cb AS (SELECT m, code, list_transform(list_slice(ce, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS cw FROM (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 16) b CROSS JOIN ms), sv AS (SELECT vec_id, m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS sv FROM embeddings CROSS JOIN ms), scored AS (SELECT vec_id, s.m, code, list_sum(list_transform(range(1, 17), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d2 FROM sv s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM scored) r WHERE rn = 1), q AS (SELECT m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS qv FROM embeddings CROSS JOIN ms WHERE vec_id = 0), dtab AS (SELECT c.m, c.code, list_sum(list_transform(range(1, 17), i -> (cw[i] - qv[i]) * (cw[i] - qv[i]))) AS dd FROM cb c JOIN q ON c.m = q.m), sc AS (SELECT co.vec_id, max(CASE WHEN co.m = 0 THEN dd END) AS d0, max(CASE WHEN co.m = 1 THEN dd END) AS d1, max(CASE WHEN co.m = 2 THEN dd END) AS d2, max(CASE WHEN co.m = 3 THEN dd END) AS d3 FROM codes co JOIN dtab dt ON co.m = dt.m AND co.code = dt.code GROUP BY 1) SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM sc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
-    // q_ivf_pruned is the same search over the cell-partitioned store —
-    // identical output by construction, so it shares the mirror verbatim.
     "q_ivf_pruned" -> IvfAnnOracle,
-    "q_ivf_ann" -> IvfAnnOracle,
     "q_array_fns2" ->
       """SELECT vec_id, CAST(list_slice(embedding, 1, 4)[1] AS DOUBLE) AS head_first, CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_min, CAST(list_reverse(list_sort(list_slice(embedding, 1, 4)))[1] AS DOUBLE) AS head_max, CAST(list_reverse(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_last FROM embeddings ORDER BY vec_id""",
     "q_dim_stats" ->

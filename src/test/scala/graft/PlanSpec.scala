@@ -69,7 +69,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("IVF probe: native cosine expression, no unbroadcast cartesian product") {
-    val p = plan("q_ivf_ann")
+    // ivfAnn is test-only since r10 (q_ivf_pruned is the registered twin),
+    // but its assignment plan IS ivfPruned's ingest stage — still guarded.
+    val p = ops.Similarity.ivfAnn(spark, d).queryExecution.explainString(FormattedMode)
     assert(p.contains("cosine_sim"))
     assert(!p.contains("CartesianProduct"),
       "centroid/query sides must broadcast — a cartesian here scans N^2 at scale")
