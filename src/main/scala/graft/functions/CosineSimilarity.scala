@@ -94,6 +94,9 @@ object Functions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
+
   /** Runtime registration (works on any existing session). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

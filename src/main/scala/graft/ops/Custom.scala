@@ -349,27 +349,29 @@ object Custom {
     * DuckDB-oracle-checked even though the sketch's internal estimates are
     * not (merge-invariance of the output is pinned in SketchSpec). k=800
     * sits below the fixture's ~920 distinct bigrams, so decrements
-    * genuinely fire. The sketch row is localCheckpoint'd so its two
-    * consumers (candidate set, total) don't each re-run the scan: exactly
-    * two corpus passes at any scale (the r09 sf10 sweep measured the prior
-    * three-pass/full-shuffle shape at 6.6× for 10× data — the worst ratio
-    * in the sweep — and this rewrite is its prescription). */
+    * genuinely fire. The fused sketch output is ONE bounded row (≤ k
+    * candidate strings + a long), so it is collected to the driver like a
+    * plan constant — the same index-metadata rule as the IVF probe cells —
+    * and pass 2 inlines the candidates as an InSet filter and the total as
+    * a literal. r09's localCheckpoint + two broadcast exchanges bought
+    * nothing the literals don't (the block write + broadcast rounds were
+    * pure overhead, and at sf0.1 — where they can never amortize — they
+    * REGRESSED the query 2.2→3.6 s, VERDICT r09 "what's wrong" #2): still
+    * exactly two corpus passes at any scale, now with zero exchanges
+    * between them, and the InSet prunes before the recount shuffle so it
+    * carries ≤ k distinct bigrams. */
   val mgHeavyHitters: Q = (s, d) => {
     import s.implicits._
     val K = 800
     val bgs = Tables(s, d, "documents")
       .select(explode(Dedup.shingles(col("text"), n = 2)).as("bg"))
-    val sketch = bgs.as[String].groupByKey(_ => 0)
+    val (_, cands, nTotal) = bgs.as[String].groupByKey(_ => 0)
       .agg(new MisraGries(K).toColumn.name("cands"),
         count(lit(1)).as[Long].name("n_total"))
-      .toDF("g", "cands", "n_total")
-      .localCheckpoint()
-    val cand = sketch.select(explode(col("cands")).as("bg"))
-    val total = sketch.select(col("n_total"))
-    bgs.join(broadcast(cand), "bg")
+      .head()
+    bgs.filter(col("bg").isin(cands: _*))
       .groupBy("bg").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt") * lit(K.toLong) > col("n_total"))
+      .filter(col("cnt") * lit(K.toLong) > lit(nTotal))
       .select(col("bg"), col("cnt"))
       .orderBy(col("cnt").desc, col("bg"))
   }

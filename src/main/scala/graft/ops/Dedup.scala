@@ -23,14 +23,12 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** Word 3-gram shingles (falls back to the whole text for tiny docs). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(text))
-  }
+  /** Word 3-gram shingles (falls back to the whole text for tiny docs).
+    * Native codegen'd expression since r10 — the HOF composition it
+    * replaces re-split the document at every shingle position (O(tokens²)
+    * per doc) and ran interpreted; see [[graft.functions.Shingles]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.Functions.shingles(text, n)
 
   /** Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
     * `('0x' || substr(md5(x), 1, 15))::BIGINT` computes the identical value

@@ -87,32 +87,40 @@ class Round9Spec extends AnyFunSuite {
 
   // ---- two-pass heavy hitters (sf10 sweep rewrite) ----
 
-  test("heavy hitters: candidate broadcast-join runs BELOW the exact-count aggregate") {
+  test("heavy hitters: candidate InSet filter prunes BELOW the exact-count aggregate") {
     // The r09 sf10 sweep's worst ratio came from shuffling every distinct
-    // bigram through the exact count. The rewritten plan must filter to the
-    // <= K MG candidates (broadcast hash join) BEFORE the final aggregate,
-    // so the recount shuffle carries at most K bigrams per partition.
+    // bigram through the exact count. The r10 shape inlines the <= K MG
+    // candidates (one bounded driver-collected row) as an InSet filter
+    // BELOW the final aggregate, so the recount shuffle carries at most K
+    // bigrams per partition — with zero exchanges between the two passes.
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
     val plan = ops.Custom.mgHeavyHitters(spark, sf).queryExecution.executedPlan
-    val aggsAboveJoin = plan.collect {
+    val aggsAboveInset = plan.collect {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
-        if a.collectLeaves().nonEmpty && a.collect {
-          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        if a.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.InSet]) => f
         }.nonEmpty => a
     }
-    assert(aggsAboveJoin.nonEmpty,
-      "the exact-count HashAggregate must sit above the broadcast candidate join")
+    assert(aggsAboveInset.nonEmpty,
+      "the exact-count HashAggregate must sit above the InSet candidate filter")
     // And exactly two jobs touch the corpus: the fused MG+total pass runs
-    // eagerly at construction (localCheckpoint), leaving ONE documents scan
-    // in the remaining plan.
+    // eagerly at construction (head()), leaving ONE documents scan in the
+    // remaining plan — and no exchange besides the recount's own shuffle.
     val scans = plan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
     }
     assert(scans.size == 1,
       s"post-sketch plan must scan documents exactly once, got ${scans.size}")
+    val broadcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.isEmpty,
+      "the literal-inlined shape needs no broadcast exchange at all")
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
