@@ -214,7 +214,7 @@ object Similarity {
   val embedClusters: Q = (s, d) => {
     val emb = Tables(s, d, "embeddings")
     val pairs = embedNearDupBanded(emb, 0.40, bits = autoBits(emb.count()))
-    Dedup.connectedComponents(
+    Dedup.connectedComponentsAuto(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
       .orderBy("vec_id")

@@ -929,7 +929,7 @@ object TextOps {
       .localCheckpoint()
     val cands = Dedup.candidatePairs(Dedup.minhashBands(Dedup.minhashSignatures(exact)))
     val verified = Dedup.exactJaccard(cands, exact).filter(col("jaccard") >= 0.6)
-    val members = Dedup.connectedComponents(verified.select("doc_a", "doc_b"))
+    val members = Dedup.connectedComponentsAuto(verified.select("doc_a", "doc_b"))
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
       .join(exact.select("doc_id", "n_chars"), Seq("doc_id"))
     val winners = members.groupBy("cluster")

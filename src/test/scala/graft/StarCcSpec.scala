@@ -38,6 +38,34 @@ class StarCcSpec extends AnyFunSuite {
     assert(rounds <= 8, s"expected logarithmic convergence, took $rounds alternations")
   }
 
+  test("auto strategy: shallow graphs converge on the min-label probe") {
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+    val (labels, strategy) = ops.Dedup.ccAutoWithStrategy(df(shallow))
+    assert(strategy == "min-label", "a 2-hop graph must not pay for star contraction")
+    assert(labelsOf(labels) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("auto strategy: an adversarially deep chain switches to star and still labels correctly") {
+    // 9 hops of label distance > the 6-round probe cap: exactly the shape
+    // that used to reach the iteration bail. The REGISTERED cluster queries
+    // (q_dedup_clusters, q_cluster_keep, q_embed_clusters, the curation
+    // pipeline) all enter through connectedComponentsAuto, so this planted
+    // chain exercises their strategy switch, not a test-only variant.
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val (labels, strategy) = ops.Dedup.ccAutoWithStrategy(df(chain))
+    assert(strategy == "star", "past the probe cap the auto entry point must switch")
+    assert(labelsOf(labels) == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("non-convergence is a thrown error, not a stderr note") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      ops.Dedup.connectedComponents(df(chain), maxIterations = 3)
+    }
+    assert(e.getMessage.contains("NOT converged"))
+  }
+
   test("components, singletons, and an empty graph label correctly") {
     val pairs = Seq((10L, 20L), (20L, 30L), (5L, 6L), (99L, 99L))
     val got = labelsOf(ops.Dedup.connectedComponentsStar(df(pairs)))
