@@ -23,6 +23,22 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // Engine/oracle parameter-coupling guard (ADVICE r09): the DuckDB
+    // mirrors for the embed-neardup family hardcode autoBits' 8-bit floor
+    // (and a 5-iteration min-label chain that assumes <=5-hop clusters,
+    // which rides the same fixture bound). The engine derives bits from
+    // the corpus size, so on a larger fixture it would be RIGHT while the
+    // oracle goes stale — fail fast with the real cause instead of letting
+    // the harness report a false mismatch. (The driver's fixture is
+    // sf0.01: 500 vectors -> 8 bits; Round8Spec pins the derivation.)
+    val embedFamily = Set("q_embed_neardup", "q_embed_neardup2", "q_embed_clusters")
+    if (selected.keySet.exists(embedFamily)) {
+      val n = Tables(spark, sfDir, "embeddings").count()
+      require(ops.Similarity.autoBits(n) == 8,
+        s"embed-family oracles assume autoBits==8 but this fixture has $n vectors " +
+          s"(autoBits=${ops.Similarity.autoBits(n)}); their SQL mirrors are stale at this " +
+          "scale — exclude them via SPARK_GRAFT_ONLY or regenerate the oracles")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

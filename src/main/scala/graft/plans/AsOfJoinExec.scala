@@ -200,6 +200,19 @@ case class AsOfJoinExec(
   // compile-error fallback at the WholeStageCodegen level).
   // ---------------------------------------------------------------------------
 
+  // Known limitation (ADVICE r09, documented by choice): Spark's
+  // CollapseCodegenStages special-cases only SortMergeJoinExec /
+  // ShuffledHashJoinExec when deciding where to insert InputAdapters, so
+  // this node's SortExec children stay inside the stage but are never asked
+  // to produce — they execute standalone and each sort-input pipeline runs
+  // without its own whole-stage fusion. Correctness is unaffected
+  // (PropertySpec pins generated/interpreted parity) and the merge loop
+  // plus everything ABOVE the as-of still fuses; what's lost is codegen on
+  // the two below-sort pipelines, whose cost is dominated by the sorts
+  // themselves. Mirroring the SMJ special case would require rewriting a
+  // private pattern-match inside CollapseCodegenStages (not extension-
+  // reachable); the measured 2x margin over the composed twin at sf0.1 and
+  // sf1 says the trade is acceptable.
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     left.execute() :: right.execute() :: Nil
 
