@@ -300,11 +300,11 @@ object Dedup {
     * minima), so the choice is invisible to every oracle (StarCcSpec pins
     * equality, including the planted deep chain through this entry point).
     */
-  def connectedComponentsAuto(pairs: DataFrame, probeIterations: Int = 6): DataFrame =
+  def connectedComponentsAuto(pairs: DataFrame, probeIterations: Int = 8): DataFrame =
     ccAutoWithStrategy(pairs, probeIterations)._1
 
   /** [[connectedComponentsAuto]] plus the chosen strategy (spec hook). */
-  def ccAutoWithStrategy(pairs: DataFrame, probeIterations: Int = 6): (DataFrame, String) = {
+  def ccAutoWithStrategy(pairs: DataFrame, probeIterations: Int = 8): (DataFrame, String) = {
     val (labels, converged, _) = minLabelCc(pairs, probeIterations)
     if (converged) (labels, "min-label")
     else (connectedComponentsStar(pairs), "star")
