@@ -390,14 +390,31 @@ object TextOps {
     * Hashes with [[Dedup.portableHash]] so the whole pipeline is
     * DuckDB-oracle-checked. */
   val winnowFingerprints: Q = (s, d) =>
+    // Per-document array computation, ZERO shuffle (r10: the exploded
+    // groupBy twin — kept as Round10Spec's property-test reference —
+    // shuffled every sampled shingle row on doc_id and went super-linear in
+    // the sf100 probe; all of n_fps/min/max are per-doc, so the corpus
+    // never needs to leave its input partitions).
     Tables(s, d, "documents")
+      .select(col("doc_id"),
+        filter(transform(Dedup.shingles(col("text")), x => Dedup.portableHash(x)),
+          h => pmod(h, lit(8)) === 0).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_fps"),
+        array_min(col("hs")).as("min_fp"), array_max(col("hs")).as("max_fp"))
+      .orderBy("doc_id")
+
+  /** The exploded/groupBy formulation of [[winnowFingerprints]] — test-only
+    * reference for the property comparison (the registered query computes
+    * the same values per document without a shuffle). */
+  def winnowFingerprintsExploded(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
       .select(col("doc_id"), Dedup.portableHash(col("sh")).as("h"))
       .filter(pmod(col("h"), lit(8)) === 0)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fps"),
         min(col("h")).as("min_fp"), max(col("h")).as("max_fp"))
-      .orderBy("doc_id")
 
   /** TRUE winnowing (Schleimer et al., "Winnowing: Local Algorithms for
     * Document Fingerprinting", §4 — the actual algorithm, vs the 0-mod-p
@@ -439,11 +456,40 @@ object TextOps {
       .distinct()
   }
 
+  /** [[winnowSelections]]' packed DISTINCT selection set as ONE array per
+    * document — the zero-shuffle form (r10). The window sweep, the
+    * rightmost-tie rule, and the distinct all happen inside the row:
+    * `ks` packs (hash, position) exactly like the window twin, `sels`
+    * takes each w-window's minimum via slice+array_min (O(w·n) per doc,
+    * w=4), and because the pack is BIJECTIVE, `array_distinct` over packed
+    * keys IS the SQL `DISTINCT (fp, selpos)`. Each derived array lives in
+    * its own projection so no lambda recomputes its input (the
+    * [[graft.functions.Shingles]] lesson: HOF lambdas block CSE). The
+    * sf100 probe measured the window twin super-linear (47 s median,
+    * ~13×/decade) — its one hash exchange carries EVERY shingle of the
+    * corpus and the per-partition sort spills; this shape never leaves the
+    * input partitions. */
+  def winnowPerDoc(docs: DataFrame, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"),
+        transform(Dedup.shingles(col("text")), (x, i) =>
+          (Dedup.portableHash(x) % lit(1073741824L)) * lit(1048576L)
+            + (lit(1048575L) - i.cast("long"))).as("ks"))
+      .select(col("doc_id"), col("ks"), size(col("ks")).as("n"))
+      .select(col("doc_id"),
+        array_distinct(
+          when(col("n") < w, array(array_min(col("ks"))))
+            .otherwise(transform(sequence(lit(w - 1), col("n") - 1), p =>
+              array_min(slice(col("ks"), p - lit(w - 2), lit(w)))))).as("dsels"))
+
   val winnowTrue: Q = (s, d) =>
-    winnowSelections(Tables(s, d, "documents"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_fps"), min(col("fp")).as("min_fp"),
-        max(col("fp")).as("max_fp"), sum(col("selpos")).as("pos_sum"))
+    winnowPerDoc(Tables(s, d, "documents"))
+      .select(col("doc_id"),
+        size(col("dsels")).cast("long").as("n_fps"),
+        shiftright(array_min(col("dsels")), 20).as("min_fp"),
+        shiftright(array_max(col("dsels")), 20).as("max_fp"),
+        aggregate(col("dsels"), lit(0L),
+          (acc, k) => acc + (lit(1048575L) - (k % lit(1048576L)))).as("pos_sum"))
       .orderBy("doc_id")
 
   /** PII scrubbing — the redaction pass every pretraining corpus runs:

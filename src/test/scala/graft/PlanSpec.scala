@@ -184,14 +184,13 @@ class PlanSpec extends AnyFunSuite {
       "band-OR candidate generation must stay an equi-join")
   }
 
-  test("winnow_true: one hash shuffle on doc_id serves window, distinct, and aggregate") {
-    // The sliding-min window partitions by doc_id; the distinct over
-    // (doc_id, fp, selpos) and the per-doc aggregate both cluster on a
-    // superset key, so hashpartitioning(doc_id) must be reused — a second
-    // hash exchange means the selection pipeline re-shuffles the corpus.
+  test("winnow_true: ZERO hash shuffles — selection happens inside each document's row") {
+    // r10: the window formulation's single hashpartitioning(doc_id)
+    // exchange still carried EVERY shingle of the corpus and went
+    // super-linear in the sf100 probe; the per-doc array form keeps the
+    // whole selection map-side (Round10Spec pins bit-identity).
     val hs = hashShuffles("q_winnow_true")
-    assert(hs.size == 1 && hs.head.contains("doc_id"),
-      s"expected exactly one hash shuffle on doc_id, got $hs")
+    assert(hs.isEmpty, s"expected no hash shuffle at all, got $hs")
   }
 
   test("tpch1: pure map-side-combined aggregation — one hash shuffle, date filter in the scan") {

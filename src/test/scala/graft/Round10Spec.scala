@@ -50,6 +50,58 @@ class Round10Spec extends AnyFunSuite {
       .groupBy(f => f.getName match { case bucketId(b) => b })
   }
 
+  // ---- zero-shuffle winnowing (sf100 probe rewrite) ----
+
+  test("winnow per-doc arrays are bit-identical to the window formulation") {
+    import spark.implicits._
+    // Fixture corpus + adversarial shapes: tiny docs (< w shingles, the
+    // global-min fallback), heavy repetition (tie-breaking + distinct
+    // collapse), and random token streams.
+    val rnd = new scala.util.Random(7)
+    val extra = Seq(
+      1000001L -> "one",
+      1000002L -> "a b",
+      1000003L -> "a b c d",
+      1000004L -> Seq.fill(40)("dup").mkString(" "),
+      1000005L -> Seq.fill(200)(s"w${rnd.nextInt(5)}").mkString(" "),
+      1000006L -> Seq.fill(300)(s"t${rnd.nextInt(1000)}").mkString(" "),
+    ).toDF("doc_id", "text")
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text").unionByName(extra)
+    val viaWindow = ops.TextOps.winnowSelections(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaArray = ops.TextOps.winnowPerDoc(docs)
+      .select(col("doc_id"), explode(col("dsels")).as("k"))
+      .select(col("doc_id"), expr("k >> 20").as("fp"),
+        (lit(1048575L) - (col("k") % lit(1048576L))).as("selpos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaArray == viaWindow,
+      "per-doc selection set must equal the window formulation exactly")
+  }
+
+  test("winnow fingerprints: zero-shuffle form equals the exploded groupBy reference") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val ref = ops.TextOps.winnowFingerprintsExploded(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = ops.TextOps.winnowFingerprints(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == ref)
+  }
+
+  test("winnow_true plan: NO shuffle before the output sort — the corpus never leaves its partitions") {
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ops.TextOps.winnowTrue(spark, sf).queryExecution.executedPlan
+      val hashEx = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashEx.isEmpty,
+        "the per-doc array form must not hash-shuffle the shingle set")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("store compaction: content survives 3 appends + compaction bit-exactly") {
     val store = ops.TextOps.dedupStoreCompact(spark, sf)
       .collect().map(_.getString(0)).toSeq
