@@ -161,13 +161,23 @@ object Similarity {
       col("band"), col("bucket"))
     val b = eb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("band"), col("bucket"))
+    // Cosine + threshold evaluate BEFORE the cross-band dedup (r10): the
+    // old shape deduped first — groupBy(vec_a, vec_b) over rows still
+    // CARRYING both embeddings, an exchange of candidate-pairs × ~520 B
+    // that filled the disk at the sf100 probe (the join's own inputs are
+    // only 4N banded vector rows; it was the pair-dedup shuffle that blew
+    // up). Verifying first costs up to `bands` cosine evaluations per
+    // duplicated pair — in-stage, codegen'd, no exchange — and shrinks the
+    // dedup shuffle to the threshold SURVIVORS' (vec_a, vec_b, cos)
+    // triples. cos is a pure function of the pair, so first() per band
+    // duplicate is exact and the output is bit-identical.
     a.join(b, Seq("band", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .groupBy("vec_a", "vec_b")
-      .agg(first(col("emb_a")).as("emb_a"), first(col("emb_b")).as("emb_b"))
       .select(col("vec_a"), col("vec_b"),
         graft.functions.Functions.cosineSim(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= threshold)
+      .groupBy("vec_a", "vec_b")
+      .agg(first(col("cos")).as("cos"))
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 2).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }

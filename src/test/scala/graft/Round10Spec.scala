@@ -50,6 +50,30 @@ class Round10Spec extends AnyFunSuite {
       .groupBy(f => f.getName match { case bucketId(b) => b })
   }
 
+  // ---- banded embed verify: no embeddings through the dedup shuffle ----
+
+  test("banded near-dup: no exchange ABOVE the candidate join carries an embedding") {
+    // The sf100 probe filled the disk on the cross-band dedup shuffle while
+    // it still carried both embeddings per candidate pair. Post-fix, the
+    // only array-typed exchanges are the banded vector rows FEEDING the
+    // join; everything above it moves (vec_a, vec_b, cos) triples.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ops.Similarity.embedNearDup2(spark, sf).queryExecution.executedPlan
+      val exchangesAboveJoin = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.nonEmpty => e
+      }
+      assert(exchangesAboveJoin.nonEmpty, "expected the dedup/sort exchanges above the join")
+      for (e <- exchangesAboveJoin)
+        assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"exchange above the candidate join must not carry embeddings: ${e.output.map(_.name)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   // ---- zero-shuffle winnowing (sf100 probe rewrite) ----
 
   test("winnow per-doc arrays are bit-identical to the window formulation") {
