@@ -13,11 +13,26 @@ object Bench {
 
   /** One environmental stall must not eat the round's wall-clock budget
     * (round 3: a 2-second query measured 635 s under driver-box contention).
-    * Cap each query; on timeout cancel its jobs and record the cap. */
-  private val QueryCapSec = 60L
+    * Cap each query; on timeout cancel its jobs and record the cap. The cap
+    * scales with the SF decade above the driver's sf0.1 (r10, VERDICT r09
+    * #7): 60 s is calibrated for sf0.1, where every legitimate query runs
+    * in single-digit seconds, but a dev bench at sf10/sf100 has
+    * legitimately 10-100× larger data — a fixed cap would record honest
+    * data-bound queries as stalls. Override with SPARK_GRAFT_CAP_SEC. */
+  private def queryCapSec(sfDir: String): Long =
+    sys.env.get("SPARK_GRAFT_CAP_SEC").map(_.toLong).getOrElse {
+      val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+        .map(_.group(1).toDouble).getOrElse(0.1)
+      // 60 s at <= sf0.1, then +60 s per decade: sf1 -> 120, sf10 -> 180,
+      // sf100 -> 240. Linear in the decade, not the data: the registered
+      // surface's measured decade ratios are ~2-3x, so a per-decade ratio
+      // >= 10x still caps out and reads as the stall/regression it is.
+      60L * (1 + math.max(0, math.ceil(math.log10(sf / 0.1)).toLong))
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val QueryCapSec = queryCapSec(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -490,6 +490,13 @@ object TextOps {
         shiftright(array_max(col("dsels")), 20).as("max_fp"),
         aggregate(col("dsels"), lit(0L),
           (acc, k) => acc + (lit(1048575L) - (k % lit(1048576L)))).as("pos_sum"))
+      // Semantically a no-op (the shingle fallback guarantees >= 1
+      // selection per doc; EdgeSpec pins the sub-w fallback) but it keeps
+      // count()-shaped consumers — the bench harness among them — honest:
+      // a pure projection is column-pruned to a row count under count(),
+      // which would report the selection work as free. q_winnow_fps's
+      // genuinely selective filter does the same job there.
+      .filter(col("n_fps") > 0)
       .orderBy("doc_id")
 
   /** PII scrubbing — the redaction pass every pretraining corpus runs:
