@@ -97,6 +97,12 @@ object Functions {
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
 
+  def winnowKeys(shingleArr: Column, w: Int): Column =
+    ColumnBridge.column(WinnowKeys(ColumnBridge.expression(shingleArr), w))
+
+  def hashSampleMod(shingleArr: Column, mod: Int): Column =
+    ColumnBridge.column(HashSampleMod(ColumnBridge.expression(shingleArr), mod))
+
   /** Runtime registration (works on any existing session). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -394,11 +394,15 @@ object TextOps {
     // groupBy twin — kept as Round10Spec's property-test reference —
     // shuffled every sampled shingle row on doc_id and went super-linear in
     // the sf100 probe; all of n_fps/min/max are per-doc, so the corpus
-    // never needs to leave its input partitions).
+    // never needs to leave its input partitions). The hash+sample step is
+    // the native codegen'd [[graft.functions.HashSampleMod]] — the HOF
+    // `filter(transform(...))` it replaces interpreted a full md5 Column
+    // tree per shingle (9.3 s isolated at sf100 vs the rest of the text
+    // tier's ~1 s/decade after [[graft.functions.Shingles]]).
     Tables(s, d, "documents")
       .select(col("doc_id"),
-        filter(transform(Dedup.shingles(col("text")), x => Dedup.portableHash(x)),
-          h => pmod(h, lit(8)) === 0).as("hs"))
+        graft.functions.Functions.hashSampleMod(
+          Dedup.shingles(col("text")), 8).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_fps"),
         array_min(col("hs")).as("min_fp"), array_max(col("hs")).as("max_fp"))
@@ -458,18 +462,27 @@ object TextOps {
 
   /** [[winnowSelections]]' packed DISTINCT selection set as ONE array per
     * document — the zero-shuffle form (r10). The window sweep, the
-    * rightmost-tie rule, and the distinct all happen inside the row:
-    * `ks` packs (hash, position) exactly like the window twin, `sels`
-    * takes each w-window's minimum via slice+array_min (O(w·n) per doc,
-    * w=4), and because the pack is BIJECTIVE, `array_distinct` over packed
-    * keys IS the SQL `DISTINCT (fp, selpos)`. Each derived array lives in
-    * its own projection so no lambda recomputes its input (the
-    * [[graft.functions.Shingles]] lesson: HOF lambdas block CSE). The
-    * sf100 probe measured the window twin super-linear (47 s median,
-    * ~13×/decade) — its one hash exchange carries EVERY shingle of the
-    * corpus and the per-partition sort spills; this shape never leaves the
-    * input partitions. */
+    * rightmost-tie rule, and the distinct all happen inside the row via the
+    * native codegen'd [[graft.functions.WinnowKeys]] expression: one O(n)
+    * monotonic-deque pass per document (hash → 30-bit fold → positional
+    * pack → w-window min → adjacent dedup, which IS `array_distinct`
+    * because the pack is bijective). The sf100 probe measured the window
+    * twin super-linear (47 s median, ~13×/decade — its one hash exchange
+    * carries EVERY shingle of the corpus and the per-partition sort
+    * spills); the first zero-shuffle form fixed the exchange but composed
+    * `transform(sequence, p -> array_min(slice(ks, ...)))` — CodegenFallback
+    * plus a w-element allocation per shingle position, 65 s isolated at
+    * sf10 once the bench stopped column-pruning it. The HOF twin survives
+    * as [[winnowPerDocHof]], the bit-identity reference Round10Spec pins
+    * fuzzed. */
   def winnowPerDoc(docs: DataFrame, w: Int = 4): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.Functions.winnowKeys(
+        Dedup.shingles(col("text")), w).as("dsels"))
+
+  /** The higher-order-function formulation [[winnowPerDoc]] replaces —
+    * test-only bit-identity reference (Round10Spec), never registered. */
+  def winnowPerDocHof(docs: DataFrame, w: Int = 4): DataFrame =
     docs
       .select(col("doc_id"),
         transform(Dedup.shingles(col("text")), (x, i) =>
