@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -15,16 +17,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // by default; read it as raw nanos and truncate to a microsecond
-      // timestamp (Spark's native precision).
+      // events.ts has shipped in two physical layouts across driver data
+      // generations: parquet TIMESTAMP(NANOS) (readable only as a raw long
+      // via the legacy conf — ScaleUp-derived dirs preserve that long), and
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false), which reads natively as
+      // TIMESTAMP_NTZ. Normalize BOTH to Spark's session-timezone
+      // TimestampType (sessions here run UTC, so the instants are
+      // identical): the streaming tier requires TimestampType for
+      // watermarks/windows, and it keeps every events-derived output the
+      // same type across data generations.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Integral DIV, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
-      // mantissa, so float division here silently loses microseconds.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          // Integral DIV, not `/`: epoch-nanos (~1.7e18) exceed double's
+          // 2^53 mantissa; float division silently loses microseconds.
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
