@@ -23,8 +23,23 @@ object ProbeQ {
       val fn = SparkEntry.queries.getOrElse(q, sys.error(s"unknown query $q"))
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); fn(spark, d).count()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Teardown OUTSIDE the timer, and thoroughly: localCheckpoint-heavy
+        // queries (the CC iterators) leave dozens of materialized RDDs +
+        // shuffle map outputs per run, and with a 96 GB heap the JVM may
+        // never GC, so the ContextCleaner never reclaims them — measured as
+        // run 1 = 15 s, runs 2-3 = 170 s for q_dedup_clusters at sf10
+        // before this block existed. Blocking unpersist + an explicit GC
+        // (which is what actually triggers the cleaner's reference queue)
+        // keeps every run a cold, comparable measurement.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        // Two GC cycles with a settle window: the first enqueues the dead
+        // RDD/shuffle references, the cleaner thread then deletes files and
+        // blocks asynchronously; the second pass catches stragglers. The
+        // settle is generous because at sf10+ a single CC run leaves
+        // thousands of shuffle files.
+        System.gc(); Thread.sleep(2000); System.gc(); Thread.sleep(2000)
+        dt
       }.sorted
       println(f"[probe] $q isolated median ${runs(1)}%.2f s (min ${runs.head}%.2f, max ${runs.last}%.2f)")
     }
