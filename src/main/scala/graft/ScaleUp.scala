@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   *    generations stay direction-distinct and ANN candidate structure
   *    grows with the corpus instead of collapsing onto copies.
   *  - events keep their time range (10× event density, same horizon), with
-  *    event_id/user_id shifted; ts stays raw TIMESTAMP(NANOS)-as-long so
-  *    [[Tables]] reads the output exactly like the driver's parquet.
+  *    event_id/user_id shifted; ts passes through in whatever layout the
+  *    source had (raw TIMESTAMP(NANOS)-as-long via the legacy conf, or
+  *    TIMESTAMP_NTZ from the micros generation) — [[Tables]] normalizes
+  *    both on read.
   *
   * Usage: `runMain graft.ScaleUp [srcDir] [dstDir] [replicas] [tag]`
   * (defaults: /root/testdata/sf0.1 → benchdata/sf1 × 10, tag "x";
