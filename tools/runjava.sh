@@ -2,7 +2,12 @@
 # Run a graft main against the compiled classes + Spark jars without sbt
 # (keeps the sbt project lock free during long tmux runs).
 cd /root/repo
-exec java -Xmx96g \
+# Fixed-size, pre-touched heap: with a growable heap the probe JVMs spent
+# up to 93% of wall-clock in the KERNEL mid-measurement (vmstat `sy`, zero
+# steal) — G1 uncommits memory after each between-runs GC, and the next
+# timed run re-faults tens of GB of zeroed pages. Pinning Xms=Xmx and
+# pre-touching moves every page fault to JVM startup, before any timer.
+exec java -Xms64g -Xmx64g -XX:+AlwaysPreTouch \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
