@@ -30,13 +30,31 @@ object Bench {
       60L * (1 + math.max(0, math.ceil(math.log10(sf / 0.1)).toLong))
     }
 
+  /** Shuffle partitions scale with the data decade, not just the cores —
+    * the sf100 probe's one super-linear entry was q_tpch21 at 18.6×/decade
+    * purely because a 600M-row sort-merge join through 32 partitions is a
+    * ~19M-row sort per task, past the in-memory budget, so every task
+    * spills; at 256 partitions the same query's floor came back to
+    * 5.5×/decade (PERF_NOTES r10). Doubling per decade keeps per-partition
+    * shuffle bytes near the sf0.1 calibration on this fixed-core box; AQE
+    * (on by default) coalesces the queries that don't need the width. On a
+    * real cluster the equivalent lever is AQE's initialPartitionNum sized
+    * to ~128-256 MB per partition. Override with SPARK_GRAFT_PARTS. */
+  private[graft] def shufflePartitions(sfDir: String, cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_PARTS", {
+      val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+        .map(_.group(1).toDouble).getOrElse(0.1)
+      val decades = math.max(0, math.ceil(math.log10(sf / 0.1)).toInt)
+      math.min(2048, cpus.toInt << decades).toString
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val QueryCapSec = queryCapSec(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(sfDir, cpus))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,8 +12,13 @@ object ProbeQ {
     require(args.length >= 2, "usage: ProbeQ <sfDir> <query>...")
     val d = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Partitions ∝ data decade (see [[Bench.shufflePartitions]]): at sf100
+    // a 600M-row sort-merge join through 32 partitions is ~19M rows per
+    // sort task — every task spills (q_tpch21 measured 18.6×/decade fixed
+    // vs 5.5× scaled). SPARK_GRAFT_PARTS overrides.
+    val parts = Bench.shufflePartitions(d, cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -2,12 +2,15 @@
 # Run a graft main against the compiled classes + Spark jars without sbt
 # (keeps the sbt project lock free during long tmux runs).
 cd /root/repo
-# Fixed-size, pre-touched heap: with a growable heap the probe JVMs spent
-# up to 93% of wall-clock in the KERNEL mid-measurement (vmstat `sy`, zero
+# Fixed-size heap (Xms=Xmx): with a growable heap the probe JVMs spent up
+# to 93% of wall-clock in the KERNEL mid-measurement (vmstat `sy`, zero
 # steal) — G1 uncommits memory after each between-runs GC, and the next
-# timed run re-faults tens of GB of zeroed pages. Pinning Xms=Xmx and
-# pre-touching moves every page fault to JVM startup, before any timer.
-exec java -Xms64g -Xmx64g -XX:+AlwaysPreTouch \
+# timed run re-faults tens of GB of zeroed pages (q_winnow_true at sf100:
+# 78 s median → 7.9 s once pinned). Pinning stops the uncommit/re-fault
+# cycle; pages still fault in lazily (NO AlwaysPreTouch — zeroing tens of
+# GB per short-lived JVM forces the OS to reclaim that much page cache
+# synchronously at every startup, which measured WORSE than the churn).
+exec java -Xms${GRAFT_HEAP:-32g} -Xmx${GRAFT_HEAP:-32g} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
