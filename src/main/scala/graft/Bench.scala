@@ -11,6 +11,22 @@ object Bench {
     * entries (least informative) and say how many were omitted. */
   private val MaxLineLen = 1700
 
+  /** Scale factor parsed from a .../sfX.Y dir. Trailing slashes are
+    * stripped first — "/root/testdata/sf100/" must parse as 100, not
+    * silently fall back to the sf0.1 defaults (which would reintroduce
+    * the 32-partition spill pathology the decade scaling exists to fix).
+    * An unparseable dir warns rather than failing silently for the same
+    * reason. */
+  private[graft] def sfOf(sfDir: String): Double = {
+    val clean = sfDir.reverse.dropWhile(_ == '/').reverse
+    "sf([0-9.]+)$".r.findFirstMatchIn(clean).map(_.group(1).toDouble)
+      .getOrElse {
+        System.err.println(
+          s"[bench] WARN: cannot parse scale factor from '$sfDir' - assuming sf0.1 defaults")
+        0.1
+      }
+  }
+
   /** One environmental stall must not eat the round's wall-clock budget
     * (round 3: a 2-second query measured 635 s under driver-box contention).
     * Cap each query; on timeout cancel its jobs and record the cap. The cap
@@ -21,8 +37,7 @@ object Bench {
     * data-bound queries as stalls. Override with SPARK_GRAFT_CAP_SEC. */
   private def queryCapSec(sfDir: String): Long =
     sys.env.get("SPARK_GRAFT_CAP_SEC").map(_.toLong).getOrElse {
-      val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
-        .map(_.group(1).toDouble).getOrElse(0.1)
+      val sf = sfOf(sfDir)
       // 60 s at <= sf0.1, then +60 s per decade: sf1 -> 120, sf10 -> 180,
       // sf100 -> 240. Linear in the decade, not the data: the registered
       // surface's measured decade ratios are ~2-3x, so a per-decade ratio
@@ -42,10 +57,14 @@ object Bench {
     * to ~128-256 MB per partition. Override with SPARK_GRAFT_PARTS. */
   private[graft] def shufflePartitions(sfDir: String, cpus: String): String =
     sys.env.getOrElse("SPARK_GRAFT_PARTS", {
-      val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
-        .map(_.group(1).toDouble).getOrElse(0.1)
+      val sf = sfOf(sfDir)
       val decades = math.max(0, math.ceil(math.log10(sf / 0.1)).toInt)
-      math.min(2048, cpus.toInt << decades).toString
+      // SPARK_GRAFT_CPUS may be any value legal in local[...] — "*" means
+      // all cores; fall back to the machine's core count rather than
+      // throwing NumberFormatException at startup.
+      val nCpus = cpus.toIntOption
+        .getOrElse(Runtime.getRuntime.availableProcessors)
+      math.min(2048, nCpus << decades).toString
     })
 
   def main(args: Array[String]): Unit = {
@@ -55,6 +74,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions(sfDir, cpus))
+      // The events table's MICROS/NTZ timestamp layout casts through the
+      // session timezone (Tables.scala); pin UTC here rather than relying
+      // on build.sbt's -D flag, which tools/runjava.sh bypasses.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -176,7 +199,8 @@ object Bench {
       val total = fmt(results.map(_._2).filter(_ > 0).sum)
       // Numeric sf when the dir is .../sfX.Y (it always is for the driver);
       // every byte of this line competes with query entries for the window.
-      val sf = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      val sf = "sf([0-9.]+)$".r
+        .findFirstMatchIn(sfDir.reverse.dropWhile(_ == '/').reverse)
         .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
       // "value" leads for the documented contract; "total_sec" repeats it at
       // the very END of the line because the driver's window keeps the LAST

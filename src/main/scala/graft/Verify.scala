@@ -9,7 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Same decade-scaled width as Bench/ProbeQ so the three harnesses'
+      // execution configs can't drift (the driver runs Verify at sf0.01,
+      // where this resolves to `cpus` — cosmetic today, invariant tomorrow).
+      .config("spark.sql.shuffle.partitions", Bench.shufflePartitions(sfDir, cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

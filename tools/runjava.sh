@@ -10,7 +10,14 @@ cd /root/repo
 # cycle; pages still fault in lazily (NO AlwaysPreTouch — zeroing tens of
 # GB per short-lived JVM forces the OS to reclaim that much page cache
 # synchronously at every startup, which measured WORSE than the churn).
+# Default was 96g before r10; memory-heavy mains (large ScaleUp
+# generations) should set GRAFT_HEAP=96g explicitly.
+# UTC is pinned here because this script bypasses build.sbt's
+# -Dspark.sql.session.timeZone=UTC: the NTZ->Timestamp cast in Tables
+# goes through the session timezone, and a non-UTC host would silently
+# shift events instants relative to the NANOS-long path.
 exec java -Xms${GRAFT_HEAP:-32g} -Xmx${GRAFT_HEAP:-32g} \
+  -Duser.timezone=UTC -Dspark.sql.session.timeZone=UTC \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
