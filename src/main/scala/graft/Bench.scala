@@ -95,6 +95,13 @@ object Bench {
       // without touching any table a measured query aggregates.
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().collect()
+      // The events table carries its own one-time read-path costs on top of
+      // the generic parquet warmup: the NANOS-long/NTZ timestamp
+      // normalization in Tables and the codegen of its cast pipeline.
+      // Without this, the alphabetically-first events query absorbed them —
+      // q_asof_forward benched 1.7 s in r10 vs a 0.3 s isolated
+      // steady-state (PERF_NOTES r11). One max(ts) reads a single column.
+      Tables(spark, sfDir, "events").selectExpr("max(ts)").collect()
     } catch { case _: Throwable => () }
     val pool = Executors.newCachedThreadPool { (r: Runnable) =>
       val t = new Thread(r); t.setDaemon(true); t

@@ -24,6 +24,11 @@ object ProbeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     TimeProbe.time("warmup count")(Tables(spark, d, "region").count())
+    // Events read-path warmup (timestamp normalization + cast codegen) so
+    // an events query probed first isn't charged session costs — the exact
+    // attribution error behind the r10 q_asof_forward "drift" (PERF_NOTES).
+    TimeProbe.time("warmup events ts")(
+      Tables(spark, d, "events").selectExpr("max(ts)").collect())
     for (q <- args.tail) {
       val fn = SparkEntry.queries.getOrElse(q, sys.error(s"unknown query $q"))
       val runs = (1 to 3).map { _ =>

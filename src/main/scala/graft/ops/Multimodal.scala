@@ -24,8 +24,14 @@ object Multimodal {
   /** An opaque media blob + metadata — the multimodal row shape. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], format: String)
 
-  /** Extracted features; in a real pipeline: decoded width/height/frames. */
-  final case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int, height: Int, format: String)
+  /** Extracted features; in a real pipeline: decoded width/height/frames.
+    * `decode_path` records WHICH decoder produced the row — "header"
+    * (hand-parsed PNG IHDR), "imageio" (in-JDK header decode), or "stub" —
+    * so a corpus where stubs dominate is visible in the query output
+    * instead of silent (VERDICT r10 #6): `GROUP BY decode_path` is the
+    * coverage audit. */
+  final case class MediaFeatures(doc_id: Long, byte_len: Int, width: Int,
+                                 height: Int, format: String, decode_path: String)
 
   /** STUB decoder — deterministic fake standing in for an image decode (no
     * codec libs in this container). Derives "dimensions" from the bytes so
@@ -33,7 +39,8 @@ object Multimodal {
     * width = 64 + firstByte % 64, height = 64 + byteLen % 64. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val b0 = if (r.media.nonEmpty) r.media(0) & 0xff else 0
-    MediaFeatures(r.doc_id, r.media.length, 64 + b0 % 64, 64 + r.media.length % 64, r.format)
+    MediaFeatures(r.doc_id, r.media.length, 64 + b0 % 64, 64 + r.media.length % 64,
+      r.format, "stub")
   }
 
   private val PngSignature =
@@ -108,10 +115,12 @@ object Multimodal {
     * genuinely codec-requiring media like video (VERDICT r09 #5). */
   def decode(r: MediaRecord): MediaFeatures =
     decodePngHeader(r.media) match {
-      case Some((w, h)) => MediaFeatures(r.doc_id, r.media.length, w, h, "png")
+      case Some((w, h)) =>
+        MediaFeatures(r.doc_id, r.media.length, w, h, "png", "header")
       case None if looksLikeImage(r.media) =>
         decodeImageIo(r.media) match {
-          case Some((w, h, fmt)) => MediaFeatures(r.doc_id, r.media.length, w, h, fmt)
+          case Some((w, h, fmt)) =>
+            MediaFeatures(r.doc_id, r.media.length, w, h, fmt, "imageio")
           case None => decodeStub(r)
         }
       case None => decodeStub(r)
@@ -127,7 +136,7 @@ object Multimodal {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"), lit("txt").as("format"))
       .as[MediaRecord]
     media.mapPartitions(_.map(decode)).toDF()
-      .select("doc_id", "byte_len", "width", "height")
+      .select("doc_id", "byte_len", "width", "height", "decode_path")
       .orderBy("doc_id")
   }
 
@@ -201,7 +210,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "q_media_features" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height FROM documents ORDER BY doc_id""",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height, 'stub' AS decode_path FROM documents ORDER BY doc_id""",
     "q_media_resize" ->
       """WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width, CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height FROM documents), r AS (SELECT doc_id, width, height, CAST(CASE WHEN width >= height THEN 48 ELSE floor(width * 48.0 / height) END AS INTEGER) AS rw, CAST(CASE WHEN width >= height THEN floor(height * 48.0 / width) ELSE 48 END AS INTEGER) AS rh, byte_len FROM f) SELECT doc_id, width, height, rw, rh, CAST(floor(byte_len * (CAST(rw AS DOUBLE) * rh) / (CAST(width AS DOUBLE) * height)) AS BIGINT) AS est_bytes FROM r ORDER BY doc_id""",
     "q_frame_sample" ->

@@ -297,7 +297,7 @@ object TextOps {
     * correctness would ride on the scan's file listing being snapshotted
     * before the new files land (ADVICE r09). With it, the store read
     * completes first and the write sources RDD blocks, not table files. */
-  private def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit =
+  private[graft] def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit =
     batch.join(s.table(tbl), Seq("fp"), "left_anti")
       .localCheckpoint()
       .repartition(StoreBuckets, col("fp"))

@@ -37,6 +37,56 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, T
   * flips the direction (earliest right at-or-after; tolerance bounds
   * `rightTime - leftTime`) — see [[AsOfJoinPlan]].
   */
+object AsOfJoinExec {
+  import org.apache.spark.sql.execution.{InputAdapter, LocalTableScanExec, WholeStageCodegenExec}
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  import org.apache.spark.sql.internal.SQLConf
+  import org.apache.spark.sql.types.ObjectType
+
+  /** Whether CollapseCodegenStages would keep `plan` inside a codegen
+    * stage — the same three checks as its private `supportCodegen(plan)`:
+    * no CodegenFallback expression, and neither the output nor any child
+    * schema wide enough to blow up the generated class. */
+  private def stageable(plan: SparkPlan): Boolean = plan match {
+    case p: CodegenSupport if p.supportCodegen =>
+      val willFallback = p.expressions.exists(_.exists(_.isInstanceOf[CodegenFallback]))
+      val tooManyOut = WholeStageCodegenExec.isTooManyFields(SQLConf.get, p.schema)
+      val tooManyIn =
+        p.children.exists(c => WholeStageCodegenExec.isTooManyFields(SQLConf.get, c.schema))
+      !willFallback && !tooManyOut && !tooManyIn
+    case _ => false
+  }
+
+  /** Mirror of CollapseCodegenStages' `insertWholeStageCodegen` for an
+    * as-of child subtree: wrap each maximal codegen-able span in its own
+    * WholeStageCodegenExec. Pre-existing stages (the exchange subtrees were
+    * already collapsed by the real rule) pass through untouched, so shuffle
+    * reuse and their UI metrics are preserved. Stage id 0 marks the stage
+    * as synthetic (runtime-inserted; it never appears in the displayed
+    * plan). */
+  private[graft] def fuseBelow(plan: SparkPlan): SparkPlan = plan match {
+    case _ if !SQLConf.get.wholeStageEnabled => plan
+    case w: WholeStageCodegenExec => w
+    case a: InputAdapter => a
+    // Domain-object and driver-local leaves are never stage roots
+    // (CollapseCodegenStages' own carve-outs).
+    case p if p.output.length == 1 && p.output.head.dataType.isInstanceOf[ObjectType] =>
+      p.withNewChildren(p.children.map(fuseBelow))
+    case p: LocalTableScanExec => p
+    case p if stageable(p) => WholeStageCodegenExec(insertAdapters(p))(0)
+    case other => other.withNewChildren(other.children.map(fuseBelow))
+  }
+
+  /** Mirror of `insertInputAdapter`: keep codegen-able operators inside the
+    * stage; everything else becomes a stage input behind an InputAdapter,
+    * with its own subtree fused recursively. */
+  private def insertAdapters(plan: SparkPlan): SparkPlan = plan match {
+    case a: InputAdapter => a
+    case p if stageable(p) => p.withNewChildren(p.children.map(insertAdapters))
+    case other => InputAdapter(fuseBelow(other))
+  }
+}
+
 case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
@@ -200,21 +250,27 @@ case class AsOfJoinExec(
   // compile-error fallback at the WholeStageCodegen level).
   // ---------------------------------------------------------------------------
 
-  // Known limitation (ADVICE r09, documented by choice): Spark's
+  // Child-stage fusion (round 11, VERDICT r10 #3): Spark's
   // CollapseCodegenStages special-cases only SortMergeJoinExec /
   // ShuffledHashJoinExec when deciding where to insert InputAdapters, so
-  // this node's SortExec children stay inside the stage but are never asked
-  // to produce — they execute standalone and each sort-input pipeline runs
-  // without its own whole-stage fusion. Correctness is unaffected
-  // (PropertySpec pins generated/interpreted parity) and the merge loop
-  // plus everything ABOVE the as-of still fuses; what's lost is codegen on
-  // the two below-sort pipelines, whose cost is dominated by the sorts
-  // themselves. Mirroring the SMJ special case would require rewriting a
-  // private pattern-match inside CollapseCodegenStages (not extension-
-  // reachable); the measured 2x margin over the composed twin at sf0.1 and
-  // sf1 says the trade is acceptable.
+  // this node's SortExec children land inside OUR stage but are never asked
+  // to produce — they would execute standalone, and each sort-input
+  // pipeline would run without its own whole-stage fusion. That private
+  // pattern-match is not extension-reachable (no physical-rule injection
+  // point runs after CollapseCodegenStages), so the SMJ treatment is
+  // mirrored here at the only seam we own: the input RDDs are produced from
+  // the children re-wrapped in their own WholeStageCodegenExec stages
+  // ([[AsOfJoinExec.fuseBelow]]), exactly the
+  // `InputAdapter(insertWholeStageCodegen(child))` shape the built-in rule
+  // gives SMJ children. The sorted output contract is unchanged — the
+  // codegen'd SortExec feeds the same UnsafeExternalRowSorter — and a
+  // generated stage that fails to compile falls back to the un-fused
+  // child.execute() inside WholeStageCodegenExec itself.
+  private lazy val fusedLeft = AsOfJoinExec.fuseBelow(left)
+  private lazy val fusedRight = AsOfJoinExec.fuseBelow(right)
+
   override def inputRDDs(): Seq[RDD[InternalRow]] =
-    left.execute() :: right.execute() :: Nil
+    fusedLeft.execute() :: fusedRight.execute() :: Nil
 
   // Output row objects are reused across iterations (the generated unsafe
   // projection writes into one buffer); buffering parents must copy.

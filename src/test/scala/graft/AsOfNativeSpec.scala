@@ -114,6 +114,49 @@ class AsOfNativeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("child-stage fusion: each sort input gets its own codegen stage (r11)") {
+    import org.apache.spark.sql.execution.{InputAdapter, SortExec, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = ops.AsOf.purchaseAsofSignupNative(spark, sf)
+    df.collect() // materialize so AQE finalizes the physical plan
+    def findAsOf(p: SparkPlan): Option[plans.AsOfJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => findAsOf(a.executedPlan)
+      // Materialized AQE stages are leaves wrapping their real subtree.
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findAsOf(q.plan)
+      case a: plans.AsOfJoinExec => Some(a)
+      case other => other.children.view.flatMap(findAsOf).headOption
+        .orElse(other.subqueries.view.flatMap(findAsOf).headOption)
+    }
+    val asOf = findAsOf(df.queryExecution.executedPlan)
+      .getOrElse(fail("AsOfJoinExec not found in the executed plan"))
+    // CollapseCodegenStages leaves the SortExec children bare inside our
+    // stage; fuseBelow must hand each of them its own WholeStageCodegenExec
+    // — the exact InputAdapter(WholeStageCodegen(Sort(...))) shape the
+    // built-in rule gives SortMergeJoin children.
+    for (child <- Seq(asOf.left, asOf.right)) {
+      assert(child.isInstanceOf[SortExec], s"expected a bare SortExec child, got:\n$child")
+      val fused = plans.AsOfJoinExec.fuseBelow(child)
+      fused match {
+        case w: WholeStageCodegenExec =>
+          assert(w.child.isInstanceOf[SortExec], s"stage must root at the sort:\n$fused")
+          val sortInput = w.child.asInstanceOf[SortExec].child
+          assert(sortInput.isInstanceOf[InputAdapter] ||
+            sortInput.isInstanceOf[org.apache.spark.sql.execution.CodegenSupport],
+            s"sort input must stay inside the stage or become a stage input:\n$fused")
+        case other => fail(s"fuseBelow must wrap a codegen-able child in its own stage:\n$other")
+      }
+    }
+    // With fallback disabled, executing the query proves the SYNTHETIC
+    // child stages' generated code compiles (a Janino failure would throw
+    // instead of silently reverting to child.execute()).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val composed = ops.AsOf.purchaseAsofSignup(spark, sf).collect().toSeq
+      val native = ops.AsOf.purchaseAsofSignupNative(spark, sf).collect().toSeq
+      assert(native == composed)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("type mismatches and unsupported tolerance types fail at analysis time, not mid-job") {
     // The generated orderings and tolerance time-getter come from the LEFT
     // side's types but run against right-side rows; AsOfJoinPlan must

@@ -36,14 +36,17 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
-  test("real JPEG/GIF/BMP round-trip: JDK-encoded bytes decode to true dimensions") {
-    for ((fmt, w, h) <- Seq(("jpg", 320, 200), ("gif", 17, 31), ("bmp", 64, 48))) {
+  test("real JPEG/GIF/BMP/TIFF round-trip: JDK-encoded bytes decode to true dimensions via the real path") {
+    for ((fmt, w, h) <- Seq(("jpg", 320, 200), ("gif", 17, 31), ("bmp", 64, 48),
+                            ("tiff", 40, 56))) {
       val bytes = imageBytes(w, h, fmt)
       assert(Multimodal.looksLikeImage(bytes), s"$fmt magic must gate into ImageIO")
       val f = Multimodal.decode(MediaRecord(9L, bytes, "bin"))
       assert((f.width, f.height) == (w, h), s"$fmt decoded dims")
       assert(f.byte_len == bytes.length)
-      assert(Set("jpeg", "gif", "bmp").contains(f.format), s"got format ${f.format}")
+      assert(Set("jpeg", "gif", "bmp", "tif", "tiff").contains(f.format), s"got format ${f.format}")
+      assert(f.decode_path == "imageio",
+        s"all four in-JDK formats must take the REAL decode path, got ${f.decode_path}")
     }
   }
 
@@ -53,7 +56,7 @@ class MultimodalSpec extends AnyFunSuite {
     val text = "BMW drivers and other text that begins with the letters B M".getBytes("UTF-8")
     assert(!Multimodal.looksLikeImage(text))
     val f = Multimodal.decode(MediaRecord(3L, text, "txt"))
-    assert(f.format == "txt", "text must take the stub path")
+    assert(f.format == "txt" && f.decode_path == "stub", "text must take the stub path")
   }
 
   test("typed mapPartitions pipeline dispatches PNG vs stub per record") {
@@ -64,9 +67,9 @@ class MultimodalSpec extends AnyFunSuite {
     ).toDS()
     val out = records.mapPartitions(_.map(Multimodal.decode))
       .collect().map(f => f.doc_id -> f).toMap
-    assert(out(1L) == MediaFeatures(1L, 29, 1920, 1080, "png"))
+    assert(out(1L) == MediaFeatures(1L, 29, 1920, 1080, "png", "header"))
     val t = out(2L)
-    assert(t.format == "txt" && t.byte_len == 16 &&
+    assert(t.format == "txt" && t.decode_path == "stub" && t.byte_len == 16 &&
       t.width == 64 + 'p' % 64 && t.height == 64 + 16 % 64)
   }
 }
