@@ -19,7 +19,11 @@ object Bench {
     * reason. */
   private[graft] def sfOf(sfDir: String): Double = {
     val clean = sfDir.reverse.dropWhile(_ == '/').reverse
-    "sf([0-9.]+)$".r.findFirstMatchIn(clean).map(_.group(1).toDouble)
+    // flatMap + toDoubleOption: the regex admits strings toDouble rejects
+    // ("sf1.2.3", "sf."); those must land in the warn-and-default branch,
+    // not throw NumberFormatException at startup (ADVICE r11).
+    "sf([0-9.]+)$".r.findFirstMatchIn(clean)
+      .flatMap(m => m.group(1).toDoubleOption)
       .getOrElse {
         System.err.println(
           s"[bench] WARN: cannot parse scale factor from '$sfDir' - assuming sf0.1 defaults")
@@ -215,6 +219,14 @@ object Bench {
       // front, the headline number still survives in the readable tail
       // (round 5 lost the total exactly this way).
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"sf":$sf,"total_sec":$total}"""
+    }
+    // Dev-sweep hook (r12): the trimmed stdout line drops the fastest
+    // entries, which is exactly what a cross-round per-query comparison
+    // needs; SPARK_GRAFT_OUT writes the UNTRIMMED map to a file the driver
+    // never reads.
+    sys.env.get("SPARK_GRAFT_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line(results, 0) + "\n").getBytes("UTF-8"))
     }
     // Keep the slowest queries when trimming: they carry the signal.
     var kept = results

@@ -290,19 +290,34 @@ object TextOps {
     s.table(tbl).orderBy("fp")
   }
 
+  /** Catalog metadata for a store table — the same lookup [[compactStore]]
+    * makes for the location; [[appendNovel]] reads the bucket spec from it
+    * so maintenance honors whatever width the table was BUILT with. */
+  private def storeMeta(s: SparkSession) =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .getTableMetadata(_: org.apache.spark.sql.catalyst.TableIdentifier)
+
   /** Append a batch's NOVEL fingerprints into the bucketed store. The novel
     * set is materialized (eager localCheckpoint) BEFORE the append starts:
     * the anti-join reads the very table the write appends to, and Spark
     * only guards self-reads for overwrite — without the barrier,
     * correctness would ride on the scan's file listing being snapshotted
     * before the new files land (ADVICE r09). With it, the store read
-    * completes first and the write sources RDD blocks, not table files. */
-  private[graft] def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit =
+    * completes first and the write sources RDD blocks, not table files.
+    * The bucket count comes from the table's OWN catalog bucketSpec (r11:
+    * a hardcoded `StoreBuckets` made every append to a non-32-bucket store
+    * throw Spark's spec-mismatch AnalysisException — maintenance must work
+    * on any store a user built, not just ones this module wrote). */
+  private[graft] def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit = {
+    val nBuckets = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec.map(_.numBuckets).getOrElse(StoreBuckets)
     batch.join(s.table(tbl), Seq("fp"), "left_anti")
       .localCheckpoint()
-      .repartition(StoreBuckets, col("fp"))
-      .write.bucketBy(StoreBuckets, "fp").sortBy("fp")
+      .repartition(nBuckets, col("fp"))
+      .write.bucketBy(nBuckets, "fp").sortBy("fp")
       .mode("append").saveAsTable(tbl)
+  }
 
   /** Compact the bucketed store after day-N appends — the maintenance step
     * that keeps the probe plan sort-free forever (VERDICT r09 missing #2):
@@ -321,19 +336,32 @@ object TextOps {
     * because the container has no lakehouse format). Bucket rewrites are
     * independent single-task jobs, submitted concurrently (.par) — on a
     * cluster they schedule like any other task batch.
+    *
+    * CONCURRENCY CONTRACT (r12, pinned in Round12Spec): an [[appendNovel]]
+    * landing between the file LISTING and the moves is never lost — the
+    * rewrite merges and deletes only the files captured in the listing, so
+    * the append's fresh per-bucket files survive untouched; the window's
+    * only artifact is that those buckets may be multi-file again (probe
+    * regains its per-bucket Sort) until the next compaction. What the file
+    * layer CANNOT give is snapshot isolation for concurrent READERS: a
+    * scan that listed files before the swap can hit a deleted file
+    * mid-read (FileNotFoundException) — the window a lakehouse format's
+    * atomic manifest commit would close; at this layer, schedule probes
+    * and compactions of one store from one maintenance process.
+    * `afterListing` is a test seam executing exactly inside that window.
     * Returns the number of buckets compacted. */
-  def compactStore(s: SparkSession, tbl: String, maxFilesPerBucket: Int = 1): Int = {
+  def compactStore(s: SparkSession, tbl: String, maxFilesPerBucket: Int = 1,
+                   afterListing: () => Unit = () => ()): Int = {
     import scala.collection.parallel.CollectionConverters._
     val loc = new java.io.File(new java.net.URI(
-      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
         .location.toString))
     val bucketId = """.*_(\d+)(?:\..*)?$""".r
     val byBucket = loc.listFiles().toSeq
       .filter(f => f.isFile && f.getName.startsWith("part-"))
       .groupBy(f => f.getName match { case bucketId(b) => b })
     val oversized = byBucket.filter(_._2.size > maxFilesPerBucket)
+    afterListing()
     oversized.par.foreach { case (bid, files) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
       s.read.parquet(files.map(_.getPath): _*)

