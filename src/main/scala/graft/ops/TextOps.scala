@@ -309,12 +309,23 @@ object TextOps {
     * a hardcoded `StoreBuckets` made every append to a non-32-bucket store
     * throw Spark's spec-mismatch AnalysisException — maintenance must work
     * on any store a user built, not just ones this module wrote). */
-  private[graft] def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit = {
+  private[graft] def appendNovel(s: SparkSession, tbl: String, batch: DataFrame): Unit =
+    appendFps(s, tbl,
+      batch.join(s.table(tbl), Seq("fp"), "left_anti").localCheckpoint())
+
+  /** Bucketed append of ALREADY-novel fingerprints, honoring the table's
+    * own catalog bucket spec. Callers must guarantee `fps` is (a) disjoint
+    * from the store and (b) materialized — no live scan of `tbl` left in
+    * its lineage (the self-read barrier [[appendNovel]]'s Scaladoc
+    * explains). [[appendNovel]] establishes both for batch callers; the
+    * streaming path ([[graft.streaming.Streams.storeDedup]]) anti-joins
+    * and checkpoints once per micro-batch — because it also EMITS the
+    * novel rows downstream — and calls this directly so the store isn't
+    * probed a second time inside the append. */
+  private[graft] def appendFps(s: SparkSession, tbl: String, fps: DataFrame): Unit = {
     val nBuckets = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
       .bucketSpec.map(_.numBuckets).getOrElse(StoreBuckets)
-    batch.join(s.table(tbl), Seq("fp"), "left_anti")
-      .localCheckpoint()
-      .repartition(nBuckets, col("fp"))
+    fps.repartition(nBuckets, col("fp"))
       .write.bucketBy(nBuckets, "fp").sortBy("fp")
       .mode("append").saveAsTable(tbl)
   }

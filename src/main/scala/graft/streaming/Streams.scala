@@ -157,4 +157,50 @@ object Streams {
           }
       }
   }
+
+  /** Streaming corpus-wide exact dedup backed by the PERSISTENT bucketed
+    * fingerprint store — the continuous-ingestion form of
+    * [[graft.ops.TextOps.dedupStore]], closing the loop between the
+    * streaming tier and the batch store-maintenance tier. Per micro-batch:
+    * fingerprint + within-batch dedup (min doc_id per fp, the batch tier's
+    * canonical-keep rule), anti-join the store — zero exchange on the
+    * store side, the same bucketed-probe plan the batch queries pin —
+    * hand the NOVEL documents to `onNovel`, then append their
+    * fingerprints into the store ([[graft.ops.TextOps.appendFps]], which
+    * honors the table's own catalog bucket spec) so the NEXT micro-batch,
+    * and tomorrow's batch pipeline, probe against them.
+    *
+    * Dedup state is the store itself: unbounded horizon, ZERO streaming
+    * state — contrast `dropDuplicatesWithinWatermark`, whose state store
+    * only spans the watermark. At 100 TB the store is exactly the batch
+    * tier's maintained table, so one corpus-wide canonical set serves
+    * both ingestion modes; periodic [[graft.ops.TextOps.compactStore]]
+    * keeps the probe sort-free, and the append-vs-compaction race
+    * contract (Round12Spec) covers a compaction running while this
+    * stream appends. The novel set is localCheckpoint-materialized once
+    * per batch, which is simultaneously the append's self-read barrier
+    * and the guarantee that `onNovel` and the append see the same rows
+    * even though the store changes beneath them.
+    *
+    * foreachBatch (not a built-in sink) because the batch is used twice —
+    * emitted AND appended — and exactly-once then comes from the store
+    * probe itself: a replayed micro-batch's fingerprints are no longer
+    * novel, so the append is naturally idempotent; `onNovel` sees the
+    * replay only if the original crashed between emit and append, the
+    * standard foreachBatch at-least-once seam. */
+  def storeDedup(docs: DataFrame, tbl: String)
+                (onNovel: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val novel = batch
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          .join(s.table(tbl), Seq("fp"), "left_anti")
+          .localCheckpoint()
+        onNovel(novel.select("doc_id", "fp"), batchId)
+        graft.ops.TextOps.appendFps(s, tbl, novel.select("fp"))
+      }
+      .start()
 }
