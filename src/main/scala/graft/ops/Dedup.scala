@@ -47,8 +47,9 @@ object Dedup {
   /** doc_id → 64 minhashes. The shingle string is hashed ONCE (portable
     * md5-prefix hash, folded to 30 bits); the 64 per-permutation values are
     * affine rehashes `(a_k*h30 + b_k) mod p` in sub-overflow modular
-    * arithmetic (max a_k=129 × 2^30 < 2^38 — ANSI-safe, unlike a full-width
-    * affine family). At 100 TB this is the difference between 64
+    * arithmetic (a_k < 2^31 × h30 < 2^30 < 2^62 — ANSI-safe, unlike a
+    * 64-bit-input affine family; see [[permA]] for why the multipliers
+    * must span the full range). At 100 TB this is the difference between 64
     * variable-length string hashes per shingle and one, and because every
     * step is engine-portable the ENTIRE pipeline (pairs, clusters) is
     * DuckDB-oracle-checked. One explode + one groupBy: the shuffle carries
@@ -147,13 +148,33 @@ object Dedup {
 
   /** Oracle-checked minhash witness: the first 16 permutations of the same
     * portable-hash affine family [[minhashSignatures]] uses (sub-overflow
-    * modular arithmetic — ANSI-safe: h folded to 30 bits so
-    * a_k*h30+b_k < 2^38), emitted as raw signature columns so the DuckDB
-    * compare sees the per-permutation values directly. */
+    * modular arithmetic — ANSI-safe: h folded to 30 bits, [[permA]]),
+    * emitted as raw signature columns so the DuckDB compare sees the
+    * per-permutation values directly. */
   val MinhashSigPerms = 16
   private val P = 2147483647L // 2^31 - 1
+
+  /** Full-range affine permutation family over the prime P — a_k spreads
+    * across [1, P) so the 64 permutations rank shingles ~independently.
+    * r12 fix: the original slopes (a_k = 2k+3 ≤ 129, b_k ≤ 500k) were so
+    * small that whenever one shingle's h30 sat well below the rest it
+    * stayed the argmin for ALL 64 permutations — the signature collapsed
+    * to 64 affine images of ONE hash, the 16 bands became ~perfectly
+    * correlated, and the advertised S-curve P(cand) = 1-(1-j^4)^16
+    * silently degenerated to single-hash behavior (P(cand) ≈ shingle-j:
+    * moderate-similarity pairs whose minimal shingles differed were
+    * unreachable no matter how many bands agreed elsewhere). Still
+    * sub-overflow ANSI-safe — h30 < 2^30, a_k < 2^31 ⇒ a_k·h30+b_k <
+    * 2^62 — and the SAME literals interpolate into every DuckDB mirror,
+    * so the whole pipeline (pairs, clusters, screens) stays
+    * oracle-checked end-to-end. */
+  private[graft] def permA(k: Int): Long = (2654435761L * (k + 1)) % P
+  private[graft] def permB(k: Int): Long = (2971215073L * (k + 1)) % P
   private def perm(k: Int, h30: Column): Column =
-    pmod(h30 * lit(2L * k + 3) + lit(7919L * k + 1), lit(P))
+    pmod(h30 * lit(permA(k)) + lit(permB(k)), lit(P))
+  /** The family's DuckDB spelling (operands positive, so `%` ≡ pmod). */
+  private def permSql(k: Int): String =
+    s"min((h30 * ${permA(k)} + ${permB(k)}) % $P) AS h$k"
 
   val minhashSig: Q = (s, d) => {
     val exploded = Tables(s, d, "documents")
@@ -193,7 +214,7 @@ object Dedup {
 
   private val MinhashSigOracle: String = {
     val mins = (0 until MinhashSigPerms)
-      .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
+      .map(permSql)
       .mkString(", ")
     s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks, text FROM documents),
         |sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM t),
@@ -450,6 +471,111 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // Persistent near-dup SIGNATURE store — makes [[incrementalNearDupScreen]]'s
+  // "at scale: a maintained, bucketed signature store" claim real. At 100 TB
+  // the corpus's signatures are computed ONCE per document EVER; day-N (or
+  // micro-batch-N, [[graft.streaming.Streams.storeNearDedup]]) screening
+  // computes signatures for the new batch only and probes two bucketed
+  // tables with ZERO exchange on the store side:
+  //   <base>_bands (band, sig, doc_id)  bucketed by (band, sig) — the LSH
+  //     candidate probe; buckets ARE the join partitions.
+  //   <base>_toks  (doc_id, toks)       bucketed by doc_id — the verify
+  //     stage's token sets, joined on the candidate's existing-side id.
+  // Appends land as correctly-hashed per-bucket files honoring each
+  // table's own catalog spec ([[TextOps.appendFps]] rationale);
+  // [[TextOps.compactStore]] applies unchanged to either table.
+  // --------------------------------------------------------------------
+
+  val SigStoreBuckets = 32
+
+  private def bandsOf(docs: DataFrame): DataFrame =
+    minhashBands(minhashSignatures(docs))
+
+  private def toksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** Write both store tables from a day-0 corpus. One file per bucket
+    * (repartition-then-bucketBy, the [[TextOps.dedupStore]] precondition
+    * for sort-free probes under the legacy bucketed-scan conf). */
+  def buildSigStore(s: SparkSession, base: String, loc: String, docs: DataFrame,
+                    buckets: Int = SigStoreBuckets): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${base}_bands")
+    s.sql(s"DROP TABLE IF EXISTS ${base}_toks")
+    bandsOf(docs).repartition(buckets, col("band"), col("sig"))
+      .write.bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .option("path", s"$loc/bands").mode("overwrite").saveAsTable(s"${base}_bands")
+    toksOf(docs).repartition(buckets, col("doc_id"))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$loc/toks").mode("overwrite").saveAsTable(s"${base}_toks")
+  }
+
+  /** Append a batch's signatures + token sets, honoring each table's OWN
+    * catalog bucket spec. The caller guarantees the batch's doc_ids are
+    * new to the store (the screen's novel set); signatures of previously
+    * seen documents are never recomputed, let alone rewritten. The batch
+    * frame must be materialized if its lineage reads either store table
+    * (the [[TextOps.appendNovel]] self-read barrier — the streaming path
+    * localCheckpoints the novel set before calling). */
+  def appendSigStore(s: SparkSession, base: String, docs: DataFrame): Unit = {
+    def widthOf(tbl: String): Int =
+      TextOps.storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .bucketSpec.map(_.numBuckets).getOrElse(SigStoreBuckets)
+    val bw = widthOf(s"${base}_bands")
+    bandsOf(docs).repartition(bw, col("band"), col("sig"))
+      .write.bucketBy(bw, "band", "sig").sortBy("band", "sig")
+      .mode("append").saveAsTable(s"${base}_bands")
+    val tw = widthOf(s"${base}_toks")
+    toksOf(docs).repartition(tw, col("doc_id"))
+      .write.bucketBy(tw, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable(s"${base}_toks")
+  }
+
+  /** Screen a batch against the persisted store: batch-side signatures are
+    * computed in-flight (the only signature computation anywhere in the
+    * steady state), candidates come from the bucketed bands join, the
+    * verify joins the store's token table on the existing-side id — both
+    * probes shuffle the BATCH side only. Output contract identical to
+    * [[incrementalNearDupScreen]]: (doc_id, n_cands, best_jaccard, novel).
+    */
+  def screenAgainstStore(s: SparkSession, base: String, batch: DataFrame,
+                         threshold: Double = 0.6): DataFrame = {
+    val cands = bandsOf(batch)
+      .join(s.table(s"${base}_bands").select(
+        col("band"), col("sig"), col("doc_id").as("ex_id")), Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
+      .distinct()
+    val best = cands
+      .join(toksOf(batch).select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(s.table(s"${base}_toks").select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("n_cands"), max(col("jaccard")).as("best_j"))
+    batch.select(col("doc_id"))
+      .join(best, col("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("best_j"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("best_j"), lit(0.0)) < threshold).as("novel"))
+  }
+
+  /** Registered store-backed screen — [[incrementalNearDup]]'s exact output
+    * (and oracle) through the persisted path: the b=0 corpus half builds
+    * the store (memoized per session × dir, steady state reads only), the
+    * b=1 half probes. The driver hash-compares this against the same
+    * DuckDB mirror as the recomputing variant, so the store path's
+    * CONTENT — bands and token sets included — is oracle-verified. */
+  val nearDupStore: Q = (s, d) => {
+    val docs = Tables(s, d, "documents")
+      .withColumn("b", pmod(portableHash(col("doc_id").cast("string")), lit(2L)))
+    val base = TextOps.canonStoreName(d) + "_sig"
+    TextOps.buildStoreOnce(s, s"sigstore_$d", base) { loc =>
+      buildSigStore(s, base, loc, docs.filter(col("b") === 0).select("doc_id", "text"))
+    }
+    screenAgainstStore(s, base, docs.filter(col("b") === 1).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-representative selection — the step AFTER clustering that
     * decides which physical row survives dedup: per near-dup cluster, keep
     * the longest document (most content), ties to the smallest doc_id, and
@@ -486,6 +612,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_cluster_keep" -> clusterKeep,
     "q_neardup_incremental" -> incrementalNearDup,
+    "q_neardup_store" -> nearDupStore,
     "q_minhash_pairs" -> minhashPairs,
     "q_dedup_clusters" -> dedupClusters,
     "q_simhash" -> simhash,
@@ -503,7 +630,7 @@ object Dedup {
     * like [[TextOps.curationPipeline]] reuse the identical mirror. */
   def verifiedPairsCte(src: String): String = {
     val permCols = (0 until NumHashes)
-      .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
+      .map(permSql)
       .mkString(", ")
     val bandRows = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(", ")
@@ -583,7 +710,7 @@ object Dedup {
     * aggregation. Generated from the same constants as the Spark path. */
   private val IncNearDupOracle: String = {
     val permCols = (0 until NumHashes)
-      .map(k => s"min((h30 * ${2L * k + 3} + ${7919L * k + 1}) % $P) AS h$k")
+      .map(permSql)
       .mkString(", ")
     val bandRows = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(j => s"h${b * RowsPerBand + j}").mkString(", ")
@@ -611,6 +738,10 @@ object Dedup {
     * included — is oracle-checked via the engine-portable hash. */
   val oracle: Map[String, String] = Map(
     "q_neardup_incremental" -> IncNearDupOracle,
+    // The store-backed screen's contract IS the recomputing screen's: one
+    // DuckDB mirror hash-checks both paths, which is exactly what proves
+    // the persisted bands/token tables hold the right content.
+    "q_neardup_store" -> IncNearDupOracle,
     "q_simhash" -> SimhashOracle,
     "q_minhash_pairs" -> MinhashPairsOracle,
     "q_dedup_clusters" -> DedupClustersOracle,

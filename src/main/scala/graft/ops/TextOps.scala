@@ -197,7 +197,7 @@ object TextOps {
   /** Store root is PROCESS-private (the [[Extended.stageOnce]] rationale):
     * the driver's Verify and a dev sbt JVM must never race on one path.
     * Deleted recursively on JVM exit (ADVICE r08). */
-  private lazy val storeRoot: String = {
+  private[ops] lazy val storeRoot: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file._
@@ -219,7 +219,7 @@ object TextOps {
     * session that wrote it. */
   private val builtStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def buildStoreOnce(s: SparkSession, key: String, tbl: String)
+  private[ops] def buildStoreOnce(s: SparkSession, key: String, tbl: String)
                             (build: String => Unit): Unit =
     // Keyed on sessionUUID, not identityHashCode (ADVICE r09): identity
     // hashes can be reused after a stopped session is GC'd (skipping the
@@ -293,7 +293,7 @@ object TextOps {
   /** Catalog metadata for a store table — the same lookup [[compactStore]]
     * makes for the location; [[appendNovel]] reads the bucket spec from it
     * so maintenance honors whatever width the table was BUILT with. */
-  private def storeMeta(s: SparkSession) =
+  private[ops] def storeMeta(s: SparkSession) =
     s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalog
       .getTableMetadata(_: org.apache.spark.sql.catalyst.TableIdentifier)

@@ -203,4 +203,51 @@ object Streams {
         graft.ops.TextOps.appendFps(s, tbl, novel.select("fp"))
       }
       .start()
+
+  /** Streaming NEAR-dup screening backed by the persistent signature store
+    * ([[graft.ops.Dedup.buildSigStore]]) — [[storeDedup]]'s sibling for
+    * MinHash/LSH near-duplicates: each micro-batch computes signatures for
+    * its own documents ONLY (the store never recomputes anything, the
+    * whole point at 100 TB), screens them against the store's bucketed
+    * bands + token tables (zero exchange on the store side), emits the
+    * screen verdicts downstream, and appends the surviving documents'
+    * signatures so later batches — and the day-N batch pipeline — probe
+    * against them.
+    *
+    * Survivors = docs novel vs the STORE, minus docs with a verified
+    * within-batch near-dup to a SMALLER batch doc_id — the greedy
+    * min-id-keeps rule (one candidate pass, no per-batch connected
+    * components; `candidatePairs` emits doc_a < doc_b, so dropping doc_b
+    * is exactly "a smaller near-dup exists"). Greedy resolves chains
+    * conservatively — in a batch a~b~c with a≁c, c is dropped because of
+    * the b~c pair even though b itself dropped — the safe direction for a
+    * dedup screen (never admits a near-dup pair, may drop an extra
+    * borderline member; transitive cluster semantics live in the batch
+    * tier's clusterKeep). As with [[storeDedup]], replayed micro-batches
+    * re-screen against a store that already absorbed them, so their docs
+    * are no longer novel and the append is naturally idempotent. */
+  def storeNearDedup(docs: DataFrame, base: String, threshold: Double = 0.6)
+                    (onScreened: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val s = raw.sparkSession
+        import graft.ops.Dedup
+        val batch = raw.select(col("doc_id"), col("text")).localCheckpoint()
+        val screened =
+          Dedup.screenAgainstStore(s, base, batch, threshold).localCheckpoint()
+        onScreened(screened, batchId)
+        val withinDup = Dedup
+          .exactJaccard(
+            Dedup.candidatePairs(Dedup.minhashBands(Dedup.minhashSignatures(batch))),
+            batch)
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val novel = batch
+          .join(screened.filter(col("novel")).select("doc_id"), Seq("doc_id"))
+          .join(withinDup, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        Dedup.appendSigStore(s, base, novel)
+      }
+      .start()
 }

@@ -32,6 +32,31 @@ class DedupSpec extends AnyFunSuite {
     assert(verified == Set((0L, 1L)))
   }
 
+  test("r12 family regression: the 64 permutations rank hashes independently") {
+    // The pre-r12 family (a_k = 2k+3, b_k = 7919k+1) had slopes so small
+    // that the SAME hash stayed argmin for every permutation whenever the
+    // global minimum was well separated — the 64-wide signature carried
+    // ~1 hash of information and the band S-curve collapsed. Pin the fix
+    // at the family level: over a deterministic pool of 30-bit hashes
+    // (portable md5-prefix hashes, the exact distribution shingles see),
+    // the per-permutation argmin must vary across the 64 permutations.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pool = (0 until 48).map { i =>
+      val hex = md.digest(s"shingle token number $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1073741824L
+    }
+    val P = 2147483647L
+    val winners = (0 until Dedup.NumHashes).map { k =>
+      pool.minBy(h => (Dedup.permA(k) * h + Dedup.permB(k)) % P)
+    }
+    // Old family: 1 distinct winner on this pool. Independent permutations
+    // over 48 candidates: expected ~27 distinct winners; ≥ 12 is a loose
+    // floor that only a correlated family can miss.
+    assert(winners.distinct.size >= 12,
+      s"argmin must vary across permutations, got ${winners.distinct.size} distinct winners")
+  }
+
   test("exact jaccard values are sensible") {
     import spark.implicits._
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")

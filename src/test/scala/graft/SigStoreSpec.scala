@@ -1,0 +1,171 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent near-dup signature store ([[ops.Dedup.buildSigStore]] /
+  * appendSigStore / screenAgainstStore) and its streaming form
+  * ([[streaming.Streams.storeNearDedup]]): signatures computed once per
+  * document ever, batch-only shuffles on both probe joins, store growth
+  * by bucketed append honoring each table's own catalog spec. Built on a
+  * NON-default width so the appends exercise the catalog-spec path. */
+class SigStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ~0.9 token-set jaccard variants and a disjoint novel doc: similar
+  // pairs collide in at least one of the 16 LSH bands with overwhelming
+  // probability (P = 1-(1-j^4)^16 ≈ 0.9999 at j=0.9).
+  private val base0 = "the quick brown fox jumps over the lazy dog while rain falls on the quiet green hills tonight"
+  private val near0 = base0.replace("tonight", "today")
+  private val near0b = base0.replace("rain", "snow")
+  private val novel1 = "entirely different words about compilers registers lattices and the festival of winter lights downtown"
+
+  private def docsDF(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("batch: store-backed screen matches the recomputing screen, probes shuffle the batch side only, append absorbs novel docs") {
+    val Buckets = 4
+    val base = "graft_sigstore_t1"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_")
+    try {
+      val existing = docsDF(1L -> base0,
+        2L -> "solar panels hum beside the canal while engineers tune turbines and measure voltage under grey skies")
+      ops.Dedup.buildSigStore(spark, base, dir.toString, existing, Buckets)
+
+      val batch = docsDF(10L -> near0, 11L -> novel1)
+      val screened = ops.Dedup.screenAgainstStore(spark, base, batch)
+
+      // Identical contract to the recomputing screen on the same split.
+      val expect = ops.Dedup.incrementalNearDupScreen(existing, batch)
+        .orderBy("doc_id").collect().toSeq
+      assert(screened.orderBy("doc_id").collect().toSeq == expect)
+
+      val rows = screened.orderBy("doc_id").collect()
+      assert(!rows(0).getAs[Boolean]("novel"), "near-dup of a stored doc must screen as dup")
+      assert(rows(0).getAs[Double]("best_jaccard") >= 0.6)
+      assert(rows(1).getAs[Boolean]("novel"), "unrelated doc must screen novel")
+
+      // Store sides of BOTH probe joins are exchange-free: their buckets
+      // are the join partitions (forced sort-merge so broadcast can't hide
+      // a missing distribution).
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.enabled" -> "false") {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        val plan = ops.Dedup.screenAgainstStore(spark, base, batch)
+          .queryExecution.executedPlan
+        // Each store scan must reach its JOIN without crossing an exchange
+        // (its buckets ARE the join partitions); exchanges ABOVE the join
+        // shuffle join output — the batch side — and are expected.
+        def paths(p: SparkPlan, up: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("graft_sigstore")) =>
+            Seq(up)
+          case other => other.children.flatMap(c => paths(c, other :: up))
+        }
+        val storePaths = paths(plan, Nil)
+        assert(storePaths.size >= 2, s"expected bands + toks store scans in:\n$plan")
+        storePaths.foreach { up =>
+          val belowJoin = up.takeWhile(!_.isInstanceOf[SortMergeJoinExec])
+          assert(belowJoin.size < up.size, s"store scan not under any sort-merge join:\n$plan")
+          assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+            s"store side must reach its join exchange-free:\n$plan")
+        }
+      }
+
+      // Append the novel doc; a re-screen of the same batch now finds BOTH
+      // docs in the store (11 at jaccard 1.0) — nothing novel left.
+      ops.Dedup.appendSigStore(spark, base, docsDF(11L -> novel1))
+      val again = ops.Dedup.screenAgainstStore(spark, base, batch)
+        .orderBy("doc_id").collect()
+      assert(again.forall(!_.getAs[Boolean]("novel")))
+      assert(again(1).getAs[Double]("best_jaccard") == 1.0)
+
+      // Appended files honor the tables' 4-bucket catalog spec.
+      for (suffix <- Seq("bands", "toks")) {
+        val loc = new java.io.File(new java.net.URI(
+          spark.sql(s"DESCRIBE TABLE EXTENDED ${base}_$suffix")
+            .filter(col("col_name") === "Location").head().getString(1)))
+        val bucketId = """.*_(\d+)(?:\..*)?$""".r
+        val ids = loc.listFiles().toSeq
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(_.getName match {
+            case bucketId(b) => b.toInt
+            case n => fail(s"unexpected data file name: $n")
+          })
+        assert(ids.nonEmpty && ids.forall(_ < Buckets),
+          s"${base}_$suffix appends must use the $Buckets-bucket spec, saw $ids")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_toks")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("streaming: cross-batch near-dups dropped via the store, within-batch greedy min-id keeps, zero streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = "graft_sigstore_t2"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstream_")
+    try {
+      ops.Dedup.buildSigStore(spark, base, dir.toString,
+        docsDF(1L -> base0), buckets = 4)
+
+      val verdicts = mutable.Map.empty[Long, Map[Long, Boolean]]
+      val stream = MemoryStream[StreamDoc]
+      val q = streaming.Streams.storeNearDedup(stream.toDF(), base) { (screened, id) =>
+        verdicts.synchronized {
+          verdicts(id) = screened.collect()
+            .map(r => r.getLong(0) -> r.getAs[Boolean]("novel")).toMap
+        }
+      }
+      try {
+        // Batch 1: near-dup of the stored doc (20 — dropped vs store), a
+        // within-batch near-dup pair (21/22 — 22 dropped greedily, 21
+        // survives and enters the store), genuinely novel 21 only.
+        stream.addData(StreamDoc(20, near0), StreamDoc(21, novel1),
+          StreamDoc(22, novel1.replace("downtown", "uptown")))
+        q.processAllAvailable()
+        // Batch 2: near-dup of batch 1's SURVIVOR (30 ~ 21: dropped via
+        // the store the stream itself maintained; last-token edit so only
+        // one shingle differs — candidate probability ~1), plus one novel.
+        stream.addData(StreamDoc(30, novel1.replace("downtown", "tonight")),
+          StreamDoc(31, "completely fresh sentence mentioning harbors tides lighthouses and gulls at dawn"))
+        q.processAllAvailable()
+
+        val v = verdicts.synchronized(verdicts.toMap)
+        val Seq(b1, b2) = v.toSeq.sortBy(_._1).map(_._2)
+        assert(b1 == Map(20L -> false, 21L -> true, 22L -> true),
+          s"vs-STORE verdicts for batch 1: $b1")
+        assert(b2 == Map(30L -> false, 31L -> true),
+          s"batch 2 must see 21's signatures in the store: $b2")
+
+        // Store toks table = day-0 doc + the survivors (21, not 22; 31).
+        val ids = spark.table(s"${base}_toks")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L, 21L, 31L), s"store ids: $ids")
+
+        assert(q.lastProgress.stateOperators.isEmpty,
+          "storeNearDedup must keep no streaming state - the store is the state")
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_toks")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  private def withConf[A](confs: (String, String)*)(f: => A): A = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
