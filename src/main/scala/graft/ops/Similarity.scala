@@ -345,13 +345,26 @@ object Similarity {
     * METADATA, collected like a plan constant, not data. Output ≡
     * [[ivfAnn]] by construction, so it shares that oracle verbatim. */
   val ivfPruned: Q = (s, d) => {
-    val cent = Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+    val cent = ivfCentroids(s, d)
     val stage = Extended.stageOnce(s"ivf_cells_$d") { dir =>
       val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("embedding"))
       ivfAssign(emb, cent).write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
+    probeCellStore(s, d, stage, cent)
+  }
+
+  /** The 16 fixture centroids (the q_ivf_ann convention). */
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings").orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+
+  /** Probe a cell-partitioned store: score the centroid METADATA against
+    * the query (a plan constant — 2 rows collected), then read ONLY the
+    * nProbe cell directories via a PartitionFilter. Shared by
+    * [[ivfPruned]] and [[ivfMaint]] — identical plan, identical oracle. */
+  private def probeCellStore(s: SparkSession, d: String, stage: String,
+                             cent: DataFrame): DataFrame = {
     val q = queryVector(s, d)
     val probeCells = cent.crossJoin(broadcast(q))
       .select(col("cent_id"),
@@ -367,6 +380,37 @@ object Similarity {
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
       .orderBy("vec_id")
+  }
+
+  /** Day-N IVF store MAINTENANCE — the ANN tier's append path, closing the
+    * same loop the dedup and signature stores close for text: new vectors
+    * are assigned to the EXISTING centroids (ingest-time assignment is
+    * incremental by nature — the centroids are the index's trained, fixed
+    * half) and land as a dynamic-partition APPEND into the cell layout:
+    * one new file per touched cell directory, untouched cells never
+    * rewritten or re-listed, and the probe's PartitionFilters pruning is
+    * untouched because appends preserve the directory structure. Centroid
+    * RETRAINING (drift) is a rebuild — [[ivfKmeans]] is that path; real
+    * systems alternate cheap appends with occasional retrains. */
+  def ivfAppend(newVecs: DataFrame, cent: DataFrame, dir: String): Unit =
+    ivfAssign(newVecs, cent).write.mode("append").partitionBy("cell").parquet(dir)
+
+  /** Registered maintenance query: half the corpus stages the store, the
+    * other half arrives as a day-N [[ivfAppend]]; the probe then runs the
+    * exact [[ivfPruned]] plan against the maintained store. Final store
+    * content equals the single-shot staging by construction, so the query
+    * shares [[ivfAnn]]'s oracle — the driver hash-verifies that the
+    * append-maintained store serves the same answers as a rebuild. */
+  val ivfMaint: Q = (s, d) => {
+    val cent = ivfCentroids(s, d)
+    val stage = Extended.stageOnce(s"ivf_maint_$d") { dir =>
+      val emb = Tables(s, d, "embeddings").filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      ivfAssign(emb.filter(pmod(col("vec_id"), lit(2L)) === 0), cent)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      ivfAppend(emb.filter(pmod(col("vec_id"), lit(2L)) === 1), cent, dir)
+    }
+    probeCellStore(s, d, stage, cent)
   }
 
   /** Per-vector L2 norm + unit-normalization check — the standard embedding
@@ -556,6 +600,7 @@ object Similarity {
     "q_embed_norm" -> embedNorm,
     "q_ivf_kmeans" -> ivfKmeans,
     "q_ivf_pruned" -> ivfPruned,
+    "q_ivf_maint" -> ivfMaint,
     "q_array_fns2" -> arrayFns2,
     "q_dim_stats" -> dimStats,
     "q_array_fns" -> arrayFns,
@@ -600,6 +645,9 @@ object Similarity {
     "q_pq_search" ->
       """WITH ms AS (SELECT unnest(range(0, 4)) AS m), cb AS (SELECT m, code, list_transform(list_slice(ce, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS cw FROM (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 16) b CROSS JOIN ms), sv AS (SELECT vec_id, m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS sv FROM embeddings CROSS JOIN ms), scored AS (SELECT vec_id, s.m, code, list_sum(list_transform(range(1, 17), i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))) AS d2 FROM sv s JOIN cb c ON s.m = c.m), codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM scored) r WHERE rn = 1), q AS (SELECT m, list_transform(list_slice(embedding, m*16+1, (m+1)*16), x -> CAST(x AS DOUBLE)) AS qv FROM embeddings CROSS JOIN ms WHERE vec_id = 0), dtab AS (SELECT c.m, c.code, list_sum(list_transform(range(1, 17), i -> (cw[i] - qv[i]) * (cw[i] - qv[i]))) AS dd FROM cb c JOIN q ON c.m = q.m), sc AS (SELECT co.vec_id, max(CASE WHEN co.m = 0 THEN dd END) AS d0, max(CASE WHEN co.m = 1 THEN dd END) AS d1, max(CASE WHEN co.m = 2 THEN dd END) AS d2, max(CASE WHEN co.m = 3 THEN dd END) AS d3 FROM codes co JOIN dtab dt ON co.m = dt.m AND co.code = dt.code GROUP BY 1) SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM sc WHERE vec_id <> 0 ORDER BY adc, vec_id LIMIT 10""",
     "q_ivf_pruned" -> IvfAnnOracle,
+    // The maintained store's content equals the single-shot staging, so
+    // the same mirror hash-verifies the append path end-to-end.
+    "q_ivf_maint" -> IvfAnnOracle,
     "q_array_fns2" ->
       """SELECT vec_id, CAST(list_slice(embedding, 1, 4)[1] AS DOUBLE) AS head_first, CAST(list_sort(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_min, CAST(list_reverse(list_sort(list_slice(embedding, 1, 4)))[1] AS DOUBLE) AS head_max, CAST(list_reverse(list_slice(embedding, 1, 4))[1] AS DOUBLE) AS head_last FROM embeddings ORDER BY vec_id""",
     "q_dim_stats" ->

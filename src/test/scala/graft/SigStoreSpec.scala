@@ -168,4 +168,43 @@ class SigStoreSpec extends AnyFunSuite {
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  // ---- IVF store maintenance (the ANN tier's append path, r12) ----
+
+  test("ivf maintenance: append lands inside the cell layout, pruning holds, answers equal a rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    // The registered q_ivf_maint stages half + appends half (memoized per
+    // JVM); force the staging now so the file layout is inspectable.
+    val maintained = ops.Similarity.ivfMaint(spark, sf)
+    val rows = maintained.collect().toSeq
+
+    // Answers equal both the single-shot store and the on-the-fly search —
+    // the maintained store serves the same index.
+    assert(rows == ops.Similarity.ivfPruned(spark, sf).collect().toSeq,
+      "append-maintained store must serve the same answers as a rebuilt store")
+    assert(rows == ops.Similarity.ivfAnn(spark, sf).collect().toSeq)
+
+    // The probe plan still prunes: cell IN (...) is a PartitionFilter.
+    val p = ops.Similarity.ivfMaint(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters") && """cell#\d+L? IN""".r.findFirstIn(p).isDefined,
+      s"maintained store's probe must keep the partition filter:\n$p")
+
+    // The append wrote real per-cell files INTO the partition dirs (every
+    // data file sits under cell=N; touched cells are multi-file: one from
+    // staging + one from the append), and no stray top-level files exist.
+    val stageDir = new java.io.File(maintained.queryExecution.analyzed.collectLeaves()
+      .collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.head.toUri
+      }.getOrElse(fail("no file relation under the maintained probe")))
+    val cellDirs = stageDir.listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, s"expected cell= partition dirs under $stageDir")
+    assert(stageDir.listFiles().filter(_.isFile).forall(!_.getName.startsWith("part-")),
+      "no data files may land outside the cell layout")
+    assert(cellDirs.exists(_.listFiles().count(_.getName.startsWith("part-")) > 1),
+      "an appended cell must hold its staging file AND its append file")
+  }
 }
