@@ -250,4 +250,26 @@ object Streams {
         Dedup.appendSigStore(s, base, novel)
       }
       .start()
+
+  /** Streaming IVF ingest — the ANN tier's continuous-maintenance path,
+    * completing the symmetry with [[storeDedup]] and [[storeNearDedup]]:
+    * each micro-batch of (vec_id, embedding) rows is assigned to the
+    * FIXED trained centroids (broadcast — index metadata, not data) and
+    * [[graft.ops.Similarity.ivfAppend]]ed into the cell-partitioned store:
+    * one new file per touched cell directory, untouched cells never
+    * rewritten, probe-side partition pruning unaffected. Zero streaming
+    * state — the store is the state; a replayed micro-batch appends its
+    * rows twice (at-least-once at the file layer; dedup-by-vec_id is the
+    * exact-dedup store's job upstream, or a lakehouse MERGE's here).
+    * Centroid retraining remains a batch rebuild ([[graft.ops.Similarity
+    * .ivfKmeans]]); alternating cheap streaming appends with occasional
+    * retrains is the standard IVF serving loop. */
+  def ivfIngest(vecs: DataFrame, cent: DataFrame, dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Similarity.ivfAppend(
+          batch.select(col("vec_id"), col("embedding")), cent, dir)
+      }
+      .start()
 }

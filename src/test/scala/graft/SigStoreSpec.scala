@@ -7,6 +7,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A streamed embedding row (top-level for encoder derivation). */
+final case class StreamVec(vec_id: Long, embedding: Array[Float])
+
 /** The persistent near-dup signature store ([[ops.Dedup.buildSigStore]] /
   * appendSigStore / screenAgainstStore) and its streaming form
   * ([[streaming.Streams.storeNearDedup]]): signatures computed once per
@@ -206,5 +209,57 @@ class SigStoreSpec extends AnyFunSuite {
       "no data files may land outside the cell layout")
     assert(cellDirs.exists(_.listFiles().count(_.getName.startsWith("part-")) > 1),
       "an appended cell must hold its staging file AND its append file")
+  }
+
+  test("streaming ivf ingest: micro-batches land in the cell layout, content equals batch assignment, zero streaming state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // 4 axis-aligned centroids; vectors cluster by dominant coordinate.
+    val cent = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(8)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cent_id", "cemb")
+    def vec(id: Long, axis: Int, wobble: Float) = StreamVec(id,
+      Array.tabulate(8)(i => if (i == axis) 1.0f else if (i == (axis + 1) % 8) wobble else 0.0f))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream_").toString + "/store"
+    // Day-0 staging: two vectors.
+    ops.Similarity.ivfAssign(
+      Seq(vec(1, 0, 0.1f), vec(2, 1, 0.1f)).toDF("vec_id", "embedding"), cent)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+    val stream = MemoryStream[StreamVec]
+    val q = streaming.Streams.ivfIngest(stream.toDF(), cent, dir)
+    try {
+      stream.addData(vec(10, 0, 0.2f), vec(11, 2, 0.05f))
+      q.processAllAvailable()
+      stream.addData(vec(20, 3, 0.3f))
+      q.processAllAvailable()
+
+      // Store content = batch assignment of ALL vectors (staged + streamed).
+      val all = Seq(vec(1, 0, 0.1f), vec(2, 1, 0.1f), vec(10, 0, 0.2f),
+        vec(11, 2, 0.05f), vec(20, 3, 0.3f)).toDF("vec_id", "embedding")
+      val wantCells = ops.Similarity.ivfAssign(all, cent)
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // The partition column's value is directory-inferred (int), so cast.
+      val got = spark.read.parquet(dir)
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wantCells, s"streamed store content: $got vs batch assignment $wantCells")
+
+      // Files live only under cell= dirs; the twice-hit cell 0 is multi-file.
+      val root = new java.io.File(dir)
+      assert(root.listFiles().filter(_.isFile).forall(!_.getName.startsWith("part-")))
+      val cell0 = new java.io.File(root, "cell=0")
+      assert(cell0.isDirectory &&
+        cell0.listFiles().count(_.getName.startsWith("part-")) > 1,
+        "cell 0 must hold its staging file and batch-1's append file")
+
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ivfIngest must keep no streaming state - the store is the state")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+    }
   }
 }
