@@ -211,6 +211,109 @@ object Similarity {
     embedNearDupBanded(emb, 0.40, bits = autoBits(emb.count()))
   }
 
+  // --------------------------------------------------------------------
+  // Persistent EMBEDDING band store — the embedding tier's incremental
+  // screen, symmetric with the text tier's signature store
+  // ([[Dedup.buildSigStore]]): band buckets are computed once per vector
+  // EVER and persisted bucketed on the probe keys, so a new batch screens
+  // against the accumulated corpus by computing ITS buckets only and
+  // probing two zero-store-side-exchange bucketed joins:
+  //   <base>_ebands (band, bucket, vec_id) bucketed by (band, bucket);
+  //   <base>_evecs  (vec_id, embedding)    bucketed by vec_id (the
+  //     cosine-verify side).
+  // `bits` is index metadata fixed at build time (the IVF-centroid
+  // convention — production derives it via [[autoBits]] from the day-0
+  // corpus and retrains on a rebuild, not per append).
+  // --------------------------------------------------------------------
+
+  val EmbedStoreBuckets = 16
+
+  private def embedBandsOf(vecs: DataFrame, bands: Int, bits: Int): DataFrame =
+    vecs.select(col("vec_id"), explode(bandBuckets(col("embedding"), bands, bits)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  def buildEmbedBandStore(s: SparkSession, base: String, loc: String, vecs: DataFrame,
+                          bands: Int = 4, bits: Int = 8,
+                          buckets: Int = EmbedStoreBuckets): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS ${base}_ebands")
+    s.sql(s"DROP TABLE IF EXISTS ${base}_evecs")
+    embedBandsOf(vecs, bands, bits).repartition(buckets, col("band"), col("bucket"))
+      .write.bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+      .option("path", s"$loc/ebands").mode("overwrite").saveAsTable(s"${base}_ebands")
+    vecs.select("vec_id", "embedding").repartition(buckets, col("vec_id"))
+      .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$loc/evecs").mode("overwrite").saveAsTable(s"${base}_evecs")
+  }
+
+  /** Append a batch of (vec_id, embedding) rows the caller has already
+    * screened as novel; each table's own catalog bucket spec is honored
+    * (the [[TextOps.appendNovel]] r11 lesson) and the batch must be
+    * materialized if its lineage reads either store table. */
+  def appendEmbedBandStore(s: SparkSession, base: String, vecs: DataFrame,
+                           bands: Int = 4, bits: Int = 8): Unit = {
+    def widthOf(tbl: String): Int =
+      TextOps.storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .bucketSpec.map(_.numBuckets).getOrElse(EmbedStoreBuckets)
+    val bw = widthOf(s"${base}_ebands")
+    embedBandsOf(vecs, bands, bits).repartition(bw, col("band"), col("bucket"))
+      .write.bucketBy(bw, "band", "bucket").sortBy("band", "bucket")
+      .mode("append").saveAsTable(s"${base}_ebands")
+    val vw = widthOf(s"${base}_evecs")
+    vecs.select("vec_id", "embedding").repartition(vw, col("vec_id"))
+      .write.bucketBy(vw, "vec_id").sortBy("vec_id")
+      .mode("append").saveAsTable(s"${base}_evecs")
+  }
+
+  /** Screen a batch against the persisted band store: candidates from the
+    * bucketed (band, bucket) join, cosine verify against the store's
+    * vector table on the existing-side id — both probes shuffle the batch
+    * side only. Output: (vec_id, n_cands, best_cos, novel); best_cos
+    * coalesces to -1.0 (below any real cosine) for candidate-less rows. */
+  def screenEmbedStore(s: SparkSession, base: String, batch: DataFrame,
+                       threshold: Double = 0.40,
+                       bands: Int = 4, bits: Int = 8): DataFrame = {
+    val cands = embedBandsOf(batch, bands, bits)
+      .join(s.table(s"${base}_ebands").select(
+        col("band"), col("bucket"), col("vec_id").as("ex_id")), Seq("band", "bucket"))
+      .select(col("vec_id").as("vec_a"), col("ex_id").as("vec_b"))
+      .distinct()
+    val best = cands
+      .join(batch.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(s.table(s"${base}_evecs").select(
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("cos",
+        graft.functions.Functions.cosineSim(col("emb_a"), col("emb_b")))
+      .groupBy("vec_a")
+      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("best"))
+    batch.select(col("vec_id"))
+      .join(best, col("vec_id") === col("vec_a"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        round(coalesce(col("best"), lit(-1.0)), 2).as("best_cos"),
+        (coalesce(col("best"), lit(-1.0)) < threshold).as("novel"))
+  }
+
+  /** Registered store-backed embedding screen — [[incrementalNearDupScreen]]'s
+    * embedding-space twin through the persisted path: the even-vec_id half
+    * builds the store (memoized per session × dir), the odd half probes;
+    * the DuckDB mirror replays the identical split, bands, candidate join,
+    * and cosine aggregation, so the persisted band/vector tables' CONTENT
+    * is hash-verified. Band width derives from the day-0 half via
+    * [[autoBits]] (the oracle fixture pins the 8-bit floor, larger SFs
+    * scale — the q_embed_neardup2 convention). */
+  val embedNearDupStore: Q = (s, d) => {
+    val withB = Tables(s, d, "embeddings")
+      .withColumn("b", pmod(col("vec_id"), lit(2L)))
+    val existing = withB.filter(col("b") === 0).select("vec_id", "embedding")
+    val batch = withB.filter(col("b") === 1).select("vec_id", "embedding")
+    val bits = autoBits(existing.count())
+    val base = TextOps.canonStoreName(d) + "_eband"
+    TextOps.buildStoreOnce(s, s"ebandstore_$d", base) { loc =>
+      buildEmbedBandStore(s, base, loc, existing, bits = bits)
+    }
+    screenEmbedStore(s, base, batch, bits = bits).orderBy("vec_id")
+  }
+
   /** Embedding-space dedup CLUSTERS (the SemDeDup shape — Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): the banded-LSH verified pairs feed
@@ -608,6 +711,7 @@ object Similarity {
     "q_ann_lsh" -> annLsh,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup2" -> embedNearDup2,
+    "q_embed_neardup_store" -> embedNearDupStore,
     "q_embed_clusters" -> embedClusters,
     "q_embed_stats" -> embedStats,
   )
@@ -658,6 +762,12 @@ object Similarity {
       s"""WITH eb AS (SELECT vec_id, embedding, $BucketSql AS bucket FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS cos_sim FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35 ORDER BY vec_a, vec_b""",
     "q_embed_neardup2" ->
       s"""WITH eb AS ($BandedEbSql), cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT vec_a, vec_b, round(CAST(list_cosine_similarity(ea.embedding, eb2.embedding) AS DOUBLE), 2) AS cos_sim FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b WHERE list_cosine_similarity(ea.embedding, eb2.embedding) >= 0.40 ORDER BY vec_a, vec_b""",
+    // Store-backed incremental screen: the mirror replays the even/odd
+    // split, the 8-bit band buckets (the fixture's autoBits floor), the
+    // batch-vs-existing candidate join, and the per-batch-vector cosine
+    // aggregation — hash-verifying the persisted band + vector tables.
+    "q_embed_neardup_store" ->
+      s"""WITH t AS (SELECT vec_id, embedding, vec_id % 2 AS b FROM embeddings), eb AS (${(0 until 4).map(bd => s"SELECT vec_id, b, $bd AS band, ${bandSql(bd)} AS bucket FROM t").mkString(" UNION ALL ")}), cand AS (SELECT DISTINCT n.vec_id AS vec_a, e.vec_id AS vec_b FROM eb n JOIN eb e ON n.band = e.band AND n.bucket = e.bucket WHERE n.b = 1 AND e.b = 0), v AS (SELECT vec_a, count(*) AS n_cands, max(CAST(list_cosine_similarity(ea.embedding, eb2.embedding) AS DOUBLE)) AS best FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b GROUP BY vec_a) SELECT t.vec_id, CAST(coalesce(v.n_cands, 0) AS BIGINT) AS n_cands, round(coalesce(v.best, -1.0), 2) AS best_cos, coalesce(v.best, -1.0) < 0.40 AS novel FROM t LEFT JOIN v ON t.vec_id = v.vec_a WHERE t.b = 1 ORDER BY t.vec_id""",
     // Same candidate/verify CTEs as q_embed_neardup2, then Dedup's shared
     // five-iteration min-label chain over the verified pair graph — the
     // oracle replays the engine's exact cluster decisions end-to-end.

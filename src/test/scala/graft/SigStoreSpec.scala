@@ -211,6 +211,73 @@ class SigStoreSpec extends AnyFunSuite {
       "an appended cell must hold its staging file AND its append file")
   }
 
+  // ---- embedding band store (the embedding tier's incremental screen, r12) ----
+
+  test("embed band store: screen verdicts, exchange-free store probes, append absorbs novel vectors") {
+    import spark.implicits._
+    val base = "graft_ebandstore_t1"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ebandstore_")
+    try {
+      def v(id: Long, coords: Seq[Float]) = (id, coords.toArray)
+      val e1 = v(1L, Seq.fill(32)(1.0f))
+      val existing = Seq(e1).toDF("vec_id", "embedding")
+      ops.Similarity.buildEmbedBandStore(spark, base, dir.toString, existing, buckets = 4)
+
+      // n1: signs identical to e1 (every band bucket collides), cos ~1 → dup.
+      // c1: shares band 0's bucket only, cos = -0.5 → candidate but novel.
+      // v1: no shared bucket at all → zero candidates, novel with best -1.
+      val n1 = v(10L, Seq.tabulate(32)(i => if (i % 2 == 0) 0.9f else 1.1f))
+      val c1 = v(11L, Seq.fill(8)(1.0f) ++ Seq.fill(24)(-1.0f))
+      val v1 = v(12L, Seq.fill(32)(-1.0f))
+      val batch = Seq(n1, c1, v1).toDF("vec_id", "embedding")
+
+      val rows = ops.Similarity.screenEmbedStore(spark, base, batch)
+        .orderBy("vec_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+      assert(!rows(0).getAs[Boolean]("novel") && rows(0).getAs[Double]("best_cos") >= 0.99)
+      assert(rows(1).getAs[Boolean]("novel") && rows(1).getLong(1) == 1L &&
+        math.abs(rows(1).getAs[Double]("best_cos") + 0.5) < 1e-9,
+        s"band-0 collision must verify as candidate-but-novel: ${rows(1)}")
+      assert(rows(2).getAs[Boolean]("novel") && rows(2).getLong(1) == 0L &&
+        rows(2).getAs[Double]("best_cos") == -1.0)
+
+      // Store sides of both probes reach their joins exchange-free.
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.enabled" -> "false") {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        val plan = ops.Similarity.screenEmbedStore(spark, base, batch)
+          .queryExecution.executedPlan
+        def paths(p: SparkPlan, up: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("graft_ebandstore")) =>
+            Seq(up)
+          case other => other.children.flatMap(c => paths(c, other :: up))
+        }
+        val sp = paths(plan, Nil)
+        assert(sp.size >= 2, s"expected ebands + evecs store scans in:\n$plan")
+        sp.foreach { up =>
+          val belowJoin = up.takeWhile(!_.isInstanceOf[SortMergeJoinExec])
+          assert(belowJoin.size < up.size && !belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+            s"embed store side must reach its join exchange-free:\n$plan")
+        }
+      }
+
+      // Append the novel vectors (4-bucket catalog spec honored); the same
+      // batch re-screens all-dup: each novel vector now finds itself.
+      ops.Similarity.appendEmbedBandStore(spark, base,
+        Seq(c1, v1).toDF("vec_id", "embedding").localCheckpoint())
+      val again = ops.Similarity.screenEmbedStore(spark, base, batch)
+        .orderBy("vec_id").collect()
+      assert(again.forall(!_.getAs[Boolean]("novel")),
+        s"after append every batch vector is a store dup: ${again.mkString(",")}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_ebands")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_evecs")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("streaming ivf ingest: micro-batches land in the cell layout, content equals batch assignment, zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
