@@ -272,4 +272,39 @@ object Streams {
           batch.select(col("vec_id"), col("embedding")), cent, dir)
       }
       .start()
+
+  /** Streaming EMBEDDING-space dedup against the persistent band store —
+    * [[storeNearDedup]]'s embedding twin, completing the streaming 2×2
+    * (exact/near × text/embedding): each micro-batch of
+    * (vec_id, embedding) rows computes its own band buckets only, screens
+    * against the store's bucketed band + vector tables
+    * ([[graft.ops.Similarity.screenEmbedStore]] — zero store-side
+    * exchange), emits the verdicts, and appends the SURVIVORS (novel vs
+    * store, minus vectors whose within-batch cosine to a smaller-vec_id
+    * survivor-candidate crosses the threshold — the same greedy min-id
+    * rule, via a batch-local band self-join). `bits` is the store's
+    * build-time index metadata, passed like IVF centroids. Replay is
+    * idempotent for the same reason as the other store streams: a
+    * replayed batch's vectors are no longer novel. */
+  def embedStoreDedup(vecs: DataFrame, base: String, threshold: Double = 0.40,
+                      bands: Int = 4, bits: Int = 8)
+                     (onScreened: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val s = raw.sparkSession
+        import graft.ops.Similarity
+        val batch = raw.select(col("vec_id"), col("embedding")).localCheckpoint()
+        val screened = Similarity
+          .screenEmbedStore(s, base, batch, threshold, bands, bits).localCheckpoint()
+        onScreened(screened, batchId)
+        val withinDup = Similarity.embedNearDupBanded(batch, threshold, bands, bits)
+          .select(col("vec_b").as("vec_id")).distinct()
+        val novel = batch
+          .join(screened.filter(col("novel")).select("vec_id"), Seq("vec_id"))
+          .join(withinDup, Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        Similarity.appendEmbedBandStore(s, base, novel, bands, bits)
+      }
+      .start()
 }

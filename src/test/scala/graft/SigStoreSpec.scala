@@ -278,6 +278,62 @@ class SigStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming embed dedup: store dups and within-batch near-dups dropped, survivors enter the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "graft_ebandstore_t2"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ebandstream_")
+    try {
+      def arr(coords: Seq[Float]) = coords.toArray
+      val e1 = arr(Seq.fill(32)(1.0f))
+      // A: orthogonal to e1 but band-2 collides (dims 16-23 positive) —
+      // candidate vs the store, cosine 0 → novel. B: alternating signs,
+      // bucket 170 in every band — collides with nothing here.
+      val a = arr(Seq.fill(16)(-1.0f) ++ Seq.fill(16)(1.0f))
+      val aJit = arr(Seq.fill(16)(-0.9f) ++ Seq.fill(16)(1.1f))
+      val aJit2 = arr(Seq.fill(16)(-1.1f) ++ Seq.fill(16)(0.9f))
+      val b = arr(Seq.tabulate(32)(i => if (i % 2 == 0) -1.0f else 1.0f))
+      ops.Similarity.buildEmbedBandStore(spark, base, dir.toString,
+        Seq((1L, e1)).toDF("vec_id", "embedding"), buckets = 4)
+
+      val verdicts = mutable.Map.empty[Long, Map[Long, Boolean]]
+      val stream = MemoryStream[StreamVec]
+      val q = streaming.Streams.embedStoreDedup(stream.toDF(), base) { (screened, id) =>
+        verdicts.synchronized {
+          verdicts(id) = screened.collect()
+            .map(r => r.getLong(0) -> r.getAs[Boolean]("novel")).toMap
+        }
+      }
+      try {
+        // 20 ~ e1 (store dup); 21 = A novel (band-2 candidate, cos 0);
+        // 22 ~ 21 within-batch (greedy: larger id dropped).
+        stream.addData(StreamVec(20, arr(Seq.fill(32)(0.95f))),
+          StreamVec(21, a), StreamVec(22, aJit))
+        q.processAllAvailable()
+        // 30 ~ the batch-1 SURVIVOR 21 (dropped via the store the stream
+        // itself maintains); 31 collides with nothing → novel.
+        stream.addData(StreamVec(30, aJit2), StreamVec(31, b))
+        q.processAllAvailable()
+
+        val v = verdicts.synchronized(verdicts.toMap)
+        val Seq(b1, b2) = v.toSeq.sortBy(_._1).map(_._2)
+        assert(b1 == Map(20L -> false, 21L -> true, 22L -> true),
+          s"vs-STORE verdicts for batch 1: $b1")
+        assert(b2 == Map(30L -> false, 31L -> true),
+          s"batch 2 must see 21's bands in the store: $b2")
+
+        val ids = spark.table(s"${base}_evecs")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L, 21L, 31L), s"store ids: $ids")
+        assert(q.lastProgress.stateOperators.isEmpty)
+      } finally q.stop()
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_ebands")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_evecs")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("streaming ivf ingest: micro-batches land in the cell layout, content equals batch assignment, zero streaming state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
