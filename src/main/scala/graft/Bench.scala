@@ -11,6 +11,31 @@ object Bench {
     * entries (least informative) and say how many were omitted. */
   private val MaxLineLen = 1700
 
+  /** Materialize a query's FULL result — every row AND every column — as
+    * the timed action. `count()` is NOT that action (r12): under a bare
+    * count Catalyst prunes every column and then eliminates whole
+    * subtrees whose row count is derivable without running them — a
+    * left-outer join against an aggregate keyed uniquely (the near-dup
+    * screens' exact shape) folds to a count of the probe side, so the
+    * bench timed a filtered row-count instead of the screen (the
+    * optimized plan was literally `Aggregate [count] <- Filter <- scan`).
+    * A checksum over struct(*) makes every output column load-bearing;
+    * bit_xor (not sum) because ANSI mode throws on long overflow. Queries
+    * whose output carries a MapType column fall back to count() —
+    * Spark's hash expressions reject maps — with the limitation that
+    * their plan may still prune (none of the current registered surface
+    * emits maps; guard kept for future queries). */
+  private[graft] def forceEval(df: org.apache.spark.sql.DataFrame): Unit = {
+    def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    if (df.schema.fields.exists(f => hasMap(f.dataType))) { df.count(); () }
+    else { df.selectExpr("bit_xor(xxhash64(struct(*))) AS checksum").collect(); () }
+  }
+
   /** Scale factor parsed from a .../sfX.Y dir. Trailing slashes are
     * stripped first — "/root/testdata/sf100/" must parse as 100, not
     * silently fall back to the sf0.1 defaults (which would reintroduce
@@ -141,7 +166,7 @@ object Bench {
           // a timed-out query keeps running, stealing CPU from every query
           // after it.
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          fn(spark, sfDir).count()
+          forceEval(fn(spark, sfDir)); 0L
         }
       })
       val sec = try { fut.get(QueryCapSec, TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }

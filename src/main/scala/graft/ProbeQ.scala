@@ -32,7 +32,10 @@ object ProbeQ {
     for (q <- args.tail) {
       val fn = SparkEntry.queries.getOrElse(q, sys.error(s"unknown query $q"))
       val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); fn(spark, d).count()
+        // Full-result checksum, not count(): see [[Bench.forceEval]] — a
+        // bare count lets the optimizer elide the very subtrees being
+        // measured (r12: the near-dup screens folded to a filtered count).
+        val t0 = System.nanoTime(); Bench.forceEval(fn(spark, d))
         val dt = (System.nanoTime() - t0) / 1e9
         // Teardown OUTSIDE the timer, and thoroughly: localCheckpoint-heavy
         // queries (the CC iterators) leave dozens of materialized RDDs +

@@ -71,7 +71,7 @@ object TimeProbe {
         "q_dup_ngrams", "q_source_stats", "q_ngram_jaccard")) {
       val fn = SparkEntry.queries(q)
       val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); fn(spark, d).count()
+        val t0 = System.nanoTime(); Bench.forceEval(fn(spark, d))
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         (System.nanoTime() - t0) / 1e9
       }.sorted
