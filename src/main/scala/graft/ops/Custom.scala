@@ -122,7 +122,20 @@ object Custom {
     extends Aggregator[(String, Long), Seq[Long], Double] {
     private def keep(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
     override def zero: Seq[Long] = Nil
-    override def reduce(b: Seq[Long], in: (String, Long)): Seq[Long] = keep(b :+ in._2)
+    // Buffer invariant: sorted ascending, distinct, ≤ k values. The O(1)
+    // fast path — reject any hash at or above the current k-th minimum —
+    // handles ~every row once the buffer saturates (a new hash beats
+    // h_(k) with probability ~k/n_seen), so the O(k log k) re-sort runs
+    // O(k log n) times total instead of once per row (r12: the per-row
+    // distinct+sort measured 23 s at sf10 under the honest bench action;
+    // the result SET is identical, so the exact DuckDB mirror is
+    // untouched).
+    override def reduce(b: Seq[Long], in: (String, Long)): Seq[Long] = {
+      val h = in._2
+      if (b.size >= k && h >= b.last) b
+      else if (b.contains(h)) b
+      else keep(b :+ h)
+    }
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = keep(a ++ b)
     override def finish(r: Seq[Long]): Double =
       if (r.size < k) r.size.toDouble
