@@ -243,7 +243,11 @@ object Bench {
       // 2000 chars — if anything sneaks out after us and truncates the
       // front, the headline number still survives in the readable tail
       // (round 5 lost the total exactly this way).
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$m$om,"sf":$sf,"total_sec":$total}"""
+      // "action":"checksum" marks the r12 methodology (full-result
+      // materialization) so a reader comparing against pre-r12 BENCH
+      // files — which timed .count() — sees the convention break in the
+      // data itself, not just in PERF_NOTES.
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"checksum","queries":$m$om,"sf":$sf,"total_sec":$total}"""
     }
     // Dev-sweep hook (r12): the trimmed stdout line drops the fastest
     // entries, which is exactly what a cross-round per-query comparison
