@@ -645,15 +645,30 @@ object TextOps {
     * length — the length/punct side of the classic pretraining quality
     * filters (ASCII character classes so Spark's Java regex and the oracle's
     * RE2 agree exactly). Pure per-row arithmetic → bit-exact vs the oracle. */
+  /** ASCII punctuation, exactly the class `[!-/:-@\[-`{-~]`. */
+  private val PunctChars: String =
+    ((33 to 47) ++ (58 to 64) ++ (91 to 96) ++ (123 to 126)).map(_.toChar).mkString
+
+  /** Count class members by DELETION, not regex rewrite:
+    * `len(text) - len(translate(text, chars, ""))` — translate is a
+    * codegen'd per-character map with no pattern compilation and no
+    * rewritten copy of the document per metric, where the previous
+    * three `regexp_replace("[^class]", "")` passes each rebuilt the
+    * whole text to measure its length (r12: 29.3 s in-sweep → 1.7 s
+    * isolated at sf10 under the honest bench action; byte-identical
+    * counts, oracle unchanged). */
+  private def classCount(text: Column, chars: String): Column =
+    (length(text) - length(translate(text, chars, ""))).cast("double")
+
   val punctQuality: Q = (s, d) =>
     Tables(s, d, "documents")
       .select(
         col("doc_id"),
-        (length(regexp_replace(col("text"), "[^!-/:-@\\[-`{-~]", "")).cast("double")
-          / length(col("text"))).as("punct_ratio"),
-        (length(regexp_replace(col("text"), "[^A-Z]", "")).cast("double")
-          / length(col("text"))).as("upper_ratio"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double")
+        (classCount(col("text"), PunctChars) / length(col("text"))).as("punct_ratio"),
+        (classCount(col("text"), ('A' to 'Z').mkString) / length(col("text"))).as("upper_ratio"),
+        // mean word length = NON-space chars per token; classCount counts
+        // the spaces, so subtract them from the total length.
+        ((length(col("text")) - classCount(col("text"), " "))
           / size(tokens(col("text")))).as("mean_word_len"))
       .orderBy("doc_id")
 
