@@ -20,11 +20,14 @@ object Bench {
     * bench timed a filtered row-count instead of the screen (the
     * optimized plan was literally `Aggregate [count] <- Filter <- scan`).
     * A checksum over struct(*) makes every output column load-bearing;
-    * bit_xor (not sum) because ANSI mode throws on long overflow. Queries
-    * whose output carries a MapType column fall back to count() —
-    * Spark's hash expressions reject maps — with the limitation that
-    * their plan may still prune (none of the current registered surface
-    * emits maps; guard kept for future queries). */
+    * bit_xor (not sum) because ANSI mode throws on long overflow. Spark's
+    * hash expressions reject MapType, so a column carrying a map anywhere
+    * in its type is hashed through to_json instead — still materializing
+    * every key and value, so the plan can't prune it. There is NO count()
+    * fallback (VERDICT r12 next #7: the fallback was a latent measurement
+    * hole — any future map-emitting query would silently regain the very
+    * fold-past-the-operator optimism the checksum action exists to kill).
+    */
   private[graft] def forceEval(df: org.apache.spark.sql.DataFrame): Unit = {
     def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
       case _: org.apache.spark.sql.types.MapType => true
@@ -32,8 +35,12 @@ object Bench {
       case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    if (df.schema.fields.exists(f => hasMap(f.dataType))) { df.count(); () }
-    else { df.selectExpr("bit_xor(xxhash64(struct(*))) AS checksum").collect(); () }
+    val cols = df.schema.fields.map { f =>
+      if (hasMap(f.dataType)) s"xxhash64(to_json(`${f.name}`))" else s"`${f.name}`"
+    }
+    df.selectExpr(s"bit_xor(xxhash64(struct(${cols.mkString(",")}))) AS checksum")
+      .collect()
+    ()
   }
 
   /** Scale factor parsed from a .../sfX.Y dir. Trailing slashes are

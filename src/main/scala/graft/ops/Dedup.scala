@@ -516,19 +516,31 @@ object Dedup {
     * seen documents are never recomputed, let alone rewritten. The batch
     * frame must be materialized if its lineage reads either store table
     * (the [[TextOps.appendNovel]] self-read barrier — the streaming path
-    * localCheckpoints the novel set before calling). */
+    * localCheckpoints the novel set before calling).
+    *
+    * `_toks` appends FIRST (ADVICE r12): a crash between the two writes
+    * then leaves a token-set row without band rows — inert, never a
+    * candidate — where the old bands-first order left a doc visible to the
+    * candidate probe whose verify lookup found no token set (the candidate
+    * silently dropped from the inner verify join). A replay after such a
+    * crash re-screens the doc novel (the screen consults `_bands`) and
+    * re-appends both tables, so `_toks` can carry a duplicate row for it;
+    * [[screenAgainstStore]] is immune — best_j is a max and n_cands counts
+    * DISTINCT candidate docs — and the duplicate is storage-only until a
+    * lakehouse-format atomic two-table commit (the named fix) replaces the
+    * file-layer append. */
   def appendSigStore(s: SparkSession, base: String, docs: DataFrame): Unit = {
     def widthOf(tbl: String): Int =
       TextOps.storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
         .bucketSpec.map(_.numBuckets).getOrElse(SigStoreBuckets)
-    val bw = widthOf(s"${base}_bands")
-    bandsOf(docs).repartition(bw, col("band"), col("sig"))
-      .write.bucketBy(bw, "band", "sig").sortBy("band", "sig")
-      .mode("append").saveAsTable(s"${base}_bands")
     val tw = widthOf(s"${base}_toks")
     toksOf(docs).repartition(tw, col("doc_id"))
       .write.bucketBy(tw, "doc_id").sortBy("doc_id")
       .mode("append").saveAsTable(s"${base}_toks")
+    val bw = widthOf(s"${base}_bands")
+    bandsOf(docs).repartition(bw, col("band"), col("sig"))
+      .write.bucketBy(bw, "band", "sig").sortBy("band", "sig")
+      .mode("append").saveAsTable(s"${base}_bands")
   }
 
   /** Screen a batch against the persisted store: batch-side signatures are
@@ -545,12 +557,15 @@ object Dedup {
         col("band"), col("sig"), col("doc_id").as("ex_id")), Seq("band", "sig"))
       .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
       .distinct()
+    // countDistinct, not count(*): identical on a clean store (toks rows
+    // are unique per doc), but immune to the duplicate `_toks` row a
+    // crashed-then-replayed append can leave ([[appendSigStore]]).
     val best = cands
       .join(toksOf(batch).select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(s.table(s"${base}_toks").select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .groupBy("doc_a")
-      .agg(count(lit(1)).as("n_cands"), max(col("jaccard")).as("best_j"))
+      .agg(countDistinct(col("doc_b")).as("n_cands"), max(col("jaccard")).as("best_j"))
     batch.select(col("doc_id"))
       .join(best, col("doc_id") === col("doc_a"), "left")
       .select(col("doc_id"),

@@ -243,25 +243,61 @@ object Similarity {
     vecs.select("vec_id", "embedding").repartition(buckets, col("vec_id"))
       .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
       .option("path", s"$loc/evecs").mode("overwrite").saveAsTable(s"${base}_evecs")
+    // (bands, bits) is build-time INDEX METADATA: a screen or append run
+    // with different values silently produces mismatched buckets — near-dups
+    // screen as novel with no error (ADVICE r12). Persist it on the table so
+    // every later operation reads it back instead of trusting its caller.
+    s.sql(s"ALTER TABLE ${base}_ebands SET TBLPROPERTIES" +
+      s" ('graft.bands'='$bands', 'graft.bits'='$bits')")
+  }
+
+  /** The store's build-time (bands, bits), read from `${base}_ebands`'s
+    * table properties. Caller-supplied values of -1 mean "whatever the
+    * store says" (the steady-state read path — no corpus count, no guessed
+    * default); explicit values must EQUAL the stored metadata, failing fast
+    * on mismatch instead of silently screening against wrong buckets. A
+    * store without the properties (built by hand, pre-r13) falls back to
+    * the caller's values or the historical 4/8 defaults. */
+  private[graft] def embedStoreParams(s: SparkSession, base: String,
+                                      bands: Int = -1, bits: Int = -1): (Int, Int) = {
+    val props = TextOps.storeMeta(s)(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${base}_ebands")).properties
+    (props.get("graft.bands").map(_.toInt), props.get("graft.bits").map(_.toInt)) match {
+      case (Some(sb), Some(st)) =>
+        require(bands < 0 || bands == sb,
+          s"embed band store '$base' was built with bands=$sb; caller passed bands=$bands")
+        require(bits < 0 || bits == st,
+          s"embed band store '$base' was built with bits=$st; caller passed bits=$bits")
+        (sb, st)
+      case _ =>
+        (if (bands < 0) 4 else bands, if (bits < 0) 8 else bits)
+    }
   }
 
   /** Append a batch of (vec_id, embedding) rows the caller has already
     * screened as novel; each table's own catalog bucket spec is honored
     * (the [[TextOps.appendNovel]] r11 lesson) and the batch must be
-    * materialized if its lineage reads either store table. */
+    * materialized if its lineage reads either store table. (bands, bits)
+    * resolve from the store's own table properties ([[embedStoreParams]]).
+    * The VECTOR table appends first: a crash between the two writes then
+    * leaves a vector row without band rows — inert (never a candidate,
+    * never probed) — whereas the old bands-first order left a band row
+    * whose verify lookup found no vector (ADVICE r12, the
+    * [[Dedup.appendSigStore]] ordering rationale). */
   def appendEmbedBandStore(s: SparkSession, base: String, vecs: DataFrame,
-                           bands: Int = 4, bits: Int = 8): Unit = {
+                           bands: Int = -1, bits: Int = -1): Unit = {
+    val (bn, bt) = embedStoreParams(s, base, bands, bits)
     def widthOf(tbl: String): Int =
       TextOps.storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
         .bucketSpec.map(_.numBuckets).getOrElse(EmbedStoreBuckets)
-    val bw = widthOf(s"${base}_ebands")
-    embedBandsOf(vecs, bands, bits).repartition(bw, col("band"), col("bucket"))
-      .write.bucketBy(bw, "band", "bucket").sortBy("band", "bucket")
-      .mode("append").saveAsTable(s"${base}_ebands")
     val vw = widthOf(s"${base}_evecs")
     vecs.select("vec_id", "embedding").repartition(vw, col("vec_id"))
       .write.bucketBy(vw, "vec_id").sortBy("vec_id")
       .mode("append").saveAsTable(s"${base}_evecs")
+    val bw = widthOf(s"${base}_ebands")
+    embedBandsOf(vecs, bn, bt).repartition(bw, col("band"), col("bucket"))
+      .write.bucketBy(bw, "band", "bucket").sortBy("band", "bucket")
+      .mode("append").saveAsTable(s"${base}_ebands")
   }
 
   /** Screen a batch against the persisted band store: candidates from the
@@ -271,8 +307,9 @@ object Similarity {
     * coalesces to -1.0 (below any real cosine) for candidate-less rows. */
   def screenEmbedStore(s: SparkSession, base: String, batch: DataFrame,
                        threshold: Double = 0.40,
-                       bands: Int = 4, bits: Int = 8): DataFrame = {
-    val cands = embedBandsOf(batch, bands, bits)
+                       bands: Int = -1, bits: Int = -1): DataFrame = {
+    val (bn, bt) = embedStoreParams(s, base, bands, bits)
+    val cands = embedBandsOf(batch, bn, bt)
       .join(s.table(s"${base}_ebands").select(
         col("band"), col("bucket"), col("vec_id").as("ex_id")), Seq("band", "bucket"))
       .select(col("vec_id").as("vec_a"), col("ex_id").as("vec_b"))
@@ -284,7 +321,10 @@ object Similarity {
       .withColumn("cos",
         graft.functions.Functions.cosineSim(col("emb_a"), col("emb_b")))
       .groupBy("vec_a")
-      .agg(count(lit(1)).as("n_cands"), max(col("cos")).as("best"))
+      // countDistinct: identical on a clean store, immune to the duplicate
+      // `_evecs` row a crashed-then-replayed append can leave
+      // ([[appendEmbedBandStore]]'s vectors-first crash window).
+      .agg(countDistinct(col("vec_b")).as("n_cands"), max(col("cos")).as("best"))
     batch.select(col("vec_id"))
       .join(best, col("vec_id") === col("vec_a"), "left")
       .select(col("vec_id"),
@@ -300,18 +340,21 @@ object Similarity {
     * and cosine aggregation, so the persisted band/vector tables' CONTENT
     * is hash-verified. Band width derives from the day-0 half via
     * [[autoBits]] (the oracle fixture pins the 8-bit floor, larger SFs
-    * scale — the q_embed_neardup2 convention). */
+    * scale — the q_embed_neardup2 convention). The autoBits corpus count
+    * runs INSIDE the memoized build closure only (ADVICE r12: computing it
+    * per invocation made every steady-state "reads only" run pay a corpus
+    * scan); repeat invocations read bits back from the store's table
+    * properties via [[embedStoreParams]]. */
   val embedNearDupStore: Q = (s, d) => {
     val withB = Tables(s, d, "embeddings")
       .withColumn("b", pmod(col("vec_id"), lit(2L)))
     val existing = withB.filter(col("b") === 0).select("vec_id", "embedding")
     val batch = withB.filter(col("b") === 1).select("vec_id", "embedding")
-    val bits = autoBits(existing.count())
     val base = TextOps.canonStoreName(d) + "_eband"
     TextOps.buildStoreOnce(s, s"ebandstore_$d", base) { loc =>
-      buildEmbedBandStore(s, base, loc, existing, bits = bits)
+      buildEmbedBandStore(s, base, loc, existing, bits = autoBits(existing.count()))
     }
-    screenEmbedStore(s, base, batch, bits = bits).orderBy("vec_id")
+    screenEmbedStore(s, base, batch).orderBy("vec_id")
   }
 
   /** Embedding-space dedup CLUSTERS (the SemDeDup shape — Abbas et al.,
@@ -331,6 +374,151 @@ object Similarity {
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
       .orderBy("vec_id")
+  }
+
+  // --------------------------------------------------------------------
+  // Incremental SemDeDup cluster MAINTENANCE over the band store — the
+  // r12 gap (VERDICT next #1): [[embedClusters]] recomputes candidates +
+  // verify + connected components over the WHOLE corpus every run, yet the
+  // band store already persists exactly the candidate structure an
+  // incremental pass needs. The maintained store adds a third table,
+  //   <base>_elabels (vec_id, canonical_id)  bucketed by vec_id
+  // — the transitive cluster labels of everything ingested so far. Day-N
+  // maintenance screens only the BATCH (bands computed once, store side
+  // exchange-free), verifies only NEW-edge pairs (batch×store + batch×
+  // batch — never re-verifying the accumulated corpus's edges), and merges
+  // labels through a CONTRACTED graph: each new edge's endpoints collapse
+  // to their existing canonical labels, so the connected-components pass
+  // runs over touched components + new nodes only, not the corpus. The
+  // label table itself is cluster membership — orders of magnitude smaller
+  // than the corpus — and rewrites in full per maintenance run (a
+  // lakehouse MERGE would rewrite only changed rows; same named fix as the
+  // other store tiers' compaction race).
+  // --------------------------------------------------------------------
+
+  /** Build the band store PLUS the day-0 label table: banded verified
+    * pairs within `vecs`, connected components, labels persisted bucketed
+    * by vec_id (only vectors that belong to some near-dup cluster appear —
+    * the [[embedClusters]] output convention). */
+  def buildEmbedClusterStore(s: SparkSession, base: String, loc: String, vecs: DataFrame,
+                             threshold: Double = 0.40, bands: Int = 4, bits: Int = 8,
+                             buckets: Int = EmbedStoreBuckets): Unit = {
+    buildEmbedBandStore(s, base, loc, vecs, bands, bits, buckets)
+    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
+    Dedup.connectedComponentsAuto(
+        embedNearDupBanded(vecs, threshold, bands, bits)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
+      .repartition(buckets, col("vec_id"))
+      .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .option("path", s"$loc/elabels").mode("overwrite").saveAsTable(s"${base}_elabels")
+  }
+
+  /** A batch's NEW verified edges: batch×store candidates from the bucketed
+    * band join (store side exchange-free — the [[screenEmbedStore]] plan),
+    * cosine-verified against the store's vector table, plus batch×batch
+    * pairs via [[embedNearDupBanded]]. Together with the store's already-
+    * labeled edges this is exactly the full corpus's verified edge set —
+    * without recomputing any accumulated-corpus work. */
+  private def newVerifiedEdges(s: SparkSession, base: String, batch: DataFrame,
+                               threshold: Double, bands: Int, bits: Int): DataFrame = {
+    val cross = embedBandsOf(batch, bands, bits)
+      .join(s.table(s"${base}_ebands").select(
+        col("band"), col("bucket"), col("vec_id").as("ex_id")), Seq("band", "bucket"))
+      .select(col("vec_id").as("vec_a"), col("ex_id").as("vec_b"))
+      // Inert on a normal day (batch ∩ store = ∅ by the novelty screen),
+      // load-bearing on a REPLAY: a re-delivered batch finds its own
+      // vectors in the store, and an unfiltered self-pair (cos = 1) would
+      // mint a singleton label row the from-scratch clustering never emits.
+      .filter(col("vec_a") =!= col("vec_b"))
+      .distinct()
+      .join(batch.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(s.table(s"${base}_evecs").select(
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .filter(graft.functions.Functions.cosineSim(col("emb_a"), col("emb_b")) >= threshold)
+      .select("vec_a", "vec_b")
+    cross.unionByName(
+      embedNearDupBanded(batch, threshold, bands, bits).select("vec_a", "vec_b"))
+  }
+
+  /** Day-N cluster maintenance: derive the batch's new verified edges,
+    * CONTRACT each endpoint through the persisted label table (an endpoint
+    * already in a cluster collapses to its canonical id — labels are
+    * component MINIMA, so the contracted graph's min-label components are
+    * the merged graph's true minima), run connected components over that
+    * contracted graph only, then write back: existing labels remapped
+    * through the merge result, plus first-time-clustered nodes. Appends the
+    * batch's store-novel vectors into the band store (replay-idempotent:
+    * a replayed batch's vectors are no longer novel, and the label merge
+    * recomputes the same deterministic fixed point). Deep merge chains are
+    * safe by construction — [[Dedup.connectedComponentsAuto]] probes
+    * min-label and switches to star contraction past the depth cap. */
+  def maintainEmbedClusterStore(s: SparkSession, base: String, batch: DataFrame,
+                                threshold: Double = 0.40): Unit = {
+    val (bands, bits) = embedStoreParams(s, base)
+    val edges = newVerifiedEdges(s, base, batch, threshold, bands, bits)
+    val lab = s.table(s"${base}_elabels")
+    val contracted = edges
+      .join(lab.select(col("vec_id").as("vec_a"), col("canonical_id").as("ca")),
+        Seq("vec_a"), "left")
+      .join(lab.select(col("vec_id").as("vec_b"), col("canonical_id").as("cb")),
+        Seq("vec_b"), "left")
+      .select(coalesce(col("ca"), col("vec_a")).as("doc_a"),
+        coalesce(col("cb"), col("vec_b")).as("doc_b"))
+    val m = Dedup.connectedComponentsAuto(contracted)
+    val remapped = lab
+      .join(m.select(col("id").as("canonical_id"), col("comp").as("newc")),
+        Seq("canonical_id"), "left")
+      .select(col("vec_id"), coalesce(col("newc"), col("canonical_id")).as("canonical_id"))
+    // Contracted nodes not yet labeled = batch vectors + store vectors whose
+    // first edge ever is a cross edge (they were singletons at build time).
+    val fresh = m.join(lab.select(col("vec_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
+    // Materialize BEFORE touching the store: the merge reads the very label
+    // table the rewrite overwrites (the appendNovel self-read barrier), and
+    // the append below changes the band tables the edge derivation read.
+    val merged = remapped.unionByName(fresh).localCheckpoint()
+    // Band-store append is novelty-screened on vec_id so a replayed batch
+    // never duplicates store rows ([[appendEmbedBandStore]] writes vectors
+    // first, so a crash mid-append leaves only inert vector rows).
+    val novel = batch
+      .join(s.table(s"${base}_evecs").select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    appendEmbedBandStore(s, base, novel)
+    val meta = TextOps.storeMeta(s)(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${base}_elabels"))
+    val w = meta.bucketSpec.map(_.numBuckets).getOrElse(EmbedStoreBuckets)
+    val labLoc = meta.location.toString
+    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
+    merged.repartition(w, col("vec_id"))
+      .write.bucketBy(w, "vec_id").sortBy("vec_id")
+      .option("path", labLoc).mode("overwrite").saveAsTable(s"${base}_elabels")
+  }
+
+  /** Registered store-backed cluster maintenance — [[embedClusters]]'s
+    * incremental twin: the even-vec_id half builds the store + day-0
+    * labels (memoized per session × dir), the odd half arrives as a day-N
+    * [[maintainEmbedClusterStore]] batch, and the query reads the
+    * MAINTAINED label table. The merged fixed point equals from-scratch
+    * connected components over the full corpus's verified edges by
+    * construction, so this shares [[embedClusters]]'s DuckDB oracle
+    * verbatim — the driver hash-verifies the persisted, incrementally-
+    * merged labels against a full recomputation. Band width derives from
+    * the FULL fixture corpus (the from-scratch parity convention; the
+    * oracle fixture pins the 8-bit floor) and is computed inside the build
+    * closure only; production fixes it at build time like any index. */
+  val embedClustersStore: Q = (s, d) => {
+    val withP = Tables(s, d, "embeddings")
+      .withColumn("p", pmod(col("vec_id"), lit(2L)))
+    val base = TextOps.canonStoreName(d) + "_ecl"
+    TextOps.buildStoreOnce(s, s"eclstore_$d", base) { loc =>
+      val bits = autoBits(withP.count())
+      buildEmbedClusterStore(s, base, loc,
+        withP.filter(col("p") === 0).select("vec_id", "embedding"), bits = bits)
+      maintainEmbedClusterStore(s, base,
+        withP.filter(col("p") === 1).select("vec_id", "embedding"))
+    }
+    s.table(s"${base}_elabels").select("vec_id", "canonical_id").orderBy("vec_id")
   }
 
   /** Array scalar functions over the embedding column (size / index /
@@ -713,6 +901,7 @@ object Similarity {
     "q_embed_neardup2" -> embedNearDup2,
     "q_embed_neardup_store" -> embedNearDupStore,
     "q_embed_clusters" -> embedClusters,
+    "q_embed_clusters_store" -> embedClustersStore,
     "q_embed_stats" -> embedStats,
   )
 
@@ -733,6 +922,13 @@ object Similarity {
     (0 until 4).map(b =>
       s"SELECT vec_id, embedding, $b AS band, ${bandSql(b)} AS bucket FROM embeddings")
       .mkString(" UNION ALL ")
+
+  /** Same candidate/verify CTEs as q_embed_neardup2, then Dedup's shared
+    * min-label chain over the verified pair graph — replays the engine's
+    * exact cluster decisions end-to-end. Shared verbatim by the from-
+    * scratch query and the store-maintained incremental twin. */
+  private val EmbedClustersOracle: String =
+    s"""WITH eb AS ($BandedEbSql), cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), vp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b WHERE list_cosine_similarity(ea.embedding, eb2.embedding) >= 0.40), ${Dedup.minLabelChainCte("vp")} SELECT id AS vec_id, comp AS canonical_id FROM l5 ORDER BY vec_id"""
 
   val oracle: Map[String, String] = Map(
     "q_embed_norm" ->
@@ -771,8 +967,12 @@ object Similarity {
     // Same candidate/verify CTEs as q_embed_neardup2, then Dedup's shared
     // five-iteration min-label chain over the verified pair graph — the
     // oracle replays the engine's exact cluster decisions end-to-end.
-    "q_embed_clusters" ->
-      s"""WITH eb AS ($BandedEbSql), cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM eb a JOIN eb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id), vp AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM cand JOIN embeddings ea ON ea.vec_id = vec_a JOIN embeddings eb2 ON eb2.vec_id = vec_b WHERE list_cosine_similarity(ea.embedding, eb2.embedding) >= 0.40), ${Dedup.minLabelChainCte("vp")} SELECT id AS vec_id, comp AS canonical_id FROM l5 ORDER BY vec_id""",
+    "q_embed_clusters" -> EmbedClustersOracle,
+    // The maintained label table's fixed point equals from-scratch CC over
+    // the full corpus's verified edges (contraction through component
+    // minima preserves minima), so the incremental path hash-checks
+    // against the identical full-recompute mirror.
+    "q_embed_clusters_store" -> EmbedClustersOracle,
     "q_array_fns" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, CAST(embedding[1] AS DOUBLE) AS first_dim, CAST(list_min(embedding) AS DOUBLE) AS min_dim, CAST(list_max(embedding) AS DOUBLE) AS max_dim FROM embeddings ORDER BY vec_id""",
     "q_cosine_topk" ->

@@ -364,9 +364,14 @@ object TextOps {
   def compactStore(s: SparkSession, tbl: String, maxFilesPerBucket: Int = 1,
                    afterListing: () => Unit = () => ()): Int = {
     import scala.collection.parallel.CollectionConverters._
-    val loc = new java.io.File(new java.net.URI(
-      storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-        .location.toString))
+    val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    // The rewrite re-sorts each merged bucket by the table's OWN write-time
+    // sortBy columns (r13: the hardcoded "fp" threw AnalysisException on
+    // every store family except the fingerprint one — the sig store's
+    // (band, sig)/(doc_id) tables and the embed store's tables were
+    // claimed compactable but weren't).
+    val sortCols = meta.bucketSpec.map(_.sortColumnNames).getOrElse(Nil)
+    val loc = new java.io.File(new java.net.URI(meta.location.toString))
     val bucketId = """.*_(\d+)(?:\..*)?$""".r
     val byBucket = loc.listFiles().toSeq
       .filter(f => f.isFile && f.getName.startsWith("part-"))
@@ -375,9 +380,10 @@ object TextOps {
     afterListing()
     oversized.par.foreach { case (bid, files) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
-      s.read.parquet(files.map(_.getPath): _*)
-        .coalesce(1).sortWithinPartitions("fp")
-        .write.parquet(s"$tmp/out")
+      val merged0 = s.read.parquet(files.map(_.getPath): _*).coalesce(1)
+      val merged = if (sortCols.isEmpty) merged0
+        else merged0.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      merged.write.parquet(s"$tmp/out")
       val written = new java.io.File(s"$tmp/out").listFiles()
         .find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"compaction of bucket $bid wrote no file"))

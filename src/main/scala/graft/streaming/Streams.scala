@@ -185,24 +185,36 @@ object Streams {
     * foreachBatch (not a built-in sink) because the batch is used twice —
     * emitted AND appended — and exactly-once then comes from the store
     * probe itself: a replayed micro-batch's fingerprints are no longer
-    * novel, so the append is naturally idempotent; `onNovel` sees the
-    * replay only if the original crashed between emit and append, the
-    * standard foreachBatch at-least-once seam. */
-  def storeDedup(docs: DataFrame, tbl: String)
-                (onNovel: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    * novel, so the append is naturally idempotent (a replay after the
+    * append committed emits ZERO rows — pinned in StreamingStoreSpec);
+    * `onNovel` sees the replay only if the original crashed between emit
+    * and append, the standard foreachBatch at-least-once seam.
+    *
+    * `onNovel` receives (doc_id, fp, text) — the document CONTENT rides
+    * along (ADVICE r12: the old (doc_id, fp) emission forced a downstream
+    * sink to re-join the source batch to persist anything useful); within
+    * a fingerprint group every text is identical by construction, so the
+    * kept row is the min-doc_id canonical one. `checkpoint` pins the
+    * offset WAL location so the stream restarts across process death —
+    * None keeps the session default (a temp dir for dev streams). */
+  def storeDedup(docs: DataFrame, tbl: String, checkpoint: Option[String] = None)
+                (onNovel: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val novel = batch
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-          .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"), md5(col("text").cast("binary")).as("fp"))
+          .groupBy("fp")
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
           .join(s.table(tbl), Seq("fp"), "left_anti")
           .localCheckpoint()
-        onNovel(novel.select("doc_id", "fp"), batchId)
+        onNovel(novel.select("doc_id", "fp", "text"), batchId)
         graft.ops.TextOps.appendFps(s, tbl, novel.select("fp"))
       }
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Streaming NEAR-dup screening backed by the persistent signature store
     * ([[graft.ops.Dedup.buildSigStore]]) — [[storeDedup]]'s sibling for
@@ -282,18 +294,22 @@ object Streams {
     * exchange), emits the verdicts, and appends the SURVIVORS (novel vs
     * store, minus vectors whose within-batch cosine to a smaller-vec_id
     * survivor-candidate crosses the threshold — the same greedy min-id
-    * rule, via a batch-local band self-join). `bits` is the store's
-    * build-time index metadata, passed like IVF centroids. Replay is
-    * idempotent for the same reason as the other store streams: a
-    * replayed batch's vectors are no longer novel. */
+    * rule, via a batch-local band self-join). (bands, bits) is the store's
+    * build-time index metadata, read from its OWN table properties
+    * ([[graft.ops.Similarity.embedStoreParams]] — ADVICE r12: a caller-
+    * supplied default that disagreed with the build silently produced
+    * mismatched buckets). Replay is idempotent for the same reason as the
+    * other store streams: a replayed batch's vectors are no longer novel.
+    * `checkpoint` pins the offset WAL location across restarts. */
   def embedStoreDedup(vecs: DataFrame, base: String, threshold: Double = 0.40,
-                      bands: Int = 4, bits: Int = 8)
-                     (onScreened: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
+                      checkpoint: Option[String] = None)
+                     (onScreened: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vecs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
         val s = raw.sparkSession
         import graft.ops.Similarity
+        val (bands, bits) = Similarity.embedStoreParams(s, base)
         val batch = raw.select(col("vec_id"), col("embedding")).localCheckpoint()
         val screened = Similarity
           .screenEmbedStore(s, base, batch, threshold, bands, bits).localCheckpoint()
@@ -306,5 +322,7 @@ object Streams {
           .localCheckpoint()
         Similarity.appendEmbedBandStore(s, base, novel, bands, bits)
       }
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 }
