@@ -420,8 +420,8 @@ object Similarity {
     * pairs via [[embedNearDupBanded]]. Together with the store's already-
     * labeled edges this is exactly the full corpus's verified edge set —
     * without recomputing any accumulated-corpus work. */
-  private def newVerifiedEdges(s: SparkSession, base: String, batch: DataFrame,
-                               threshold: Double, bands: Int, bits: Int): DataFrame = {
+  private[graft] def newVerifiedEdges(s: SparkSession, base: String, batch: DataFrame,
+                                      threshold: Double, bands: Int, bits: Int): DataFrame = {
     val cross = embedBandsOf(batch, bands, bits)
       .join(s.table(s"${base}_ebands").select(
         col("band"), col("bucket"), col("vec_id").as("ex_id")), Seq("band", "bucket"))

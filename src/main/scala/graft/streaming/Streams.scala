@@ -276,14 +276,17 @@ object Streams {
     * Centroid retraining remains a batch rebuild ([[graft.ops.Similarity
     * .ivfKmeans]]); alternating cheap streaming appends with occasional
     * retrains is the standard IVF serving loop. */
-  def ivfIngest(vecs: DataFrame, cent: DataFrame, dir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
+  def ivfIngest(vecs: DataFrame, cent: DataFrame, dir: String,
+                checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = vecs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Similarity.ivfAppend(
           batch.select(col("vec_id"), col("embedding")), cent, dir)
       }
-      .start()
+    checkpoint.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Streaming EMBEDDING-space dedup against the persistent band store —
     * [[storeNearDedup]]'s embedding twin, completing the streaming 2×2

@@ -345,6 +345,91 @@ class Round13Spec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
   }
 
+  test("maintenance edge derivation: both store scans reach their joins exchange-free (the screen's plan shape)") {
+    val base = s"graft_r13_plan_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_plan_")
+    try {
+      ops.Similarity.buildEmbedClusterStore(spark, base, dir.toString, day0, threshold = 0.9)
+      val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        val plan = ops.Similarity
+          .newVerifiedEdges(spark, base, day1, 0.9, 4, 8)
+          .queryExecution.executedPlan
+        def paths(p: SparkPlan, up: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("graft_r13_plan_")) =>
+            Seq(up)
+          case other => other.children.flatMap(c => paths(c, other :: up))
+        }
+        val storePaths = paths(plan, Nil)
+        assert(storePaths.size >= 2, s"expected ebands + evecs store scans in:\n$plan")
+        storePaths.foreach { up =>
+          val belowJoin = up.takeWhile(!_.isInstanceOf[SortMergeJoinExec])
+          assert(belowJoin.size < up.size, s"store scan not under any join:\n$plan")
+          assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+            s"the store side of the maintenance screen must never re-shuffle:\n$plan")
+        }
+      } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally {
+      Seq("_ebands", "_evecs", "_elabels").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("ivfIngest replay: the documented at-least-once contract — duplicate rows at the file layer, dedup-by-vec_id restores parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val cent = (0 until 4).map { c =>
+      (c.toLong, Array.tabulate(8)(i => if (i == c) 1.0f else 0.0f))
+    }.toDF("cent_id", "cemb")
+    def v(id: Long, axis: Int) = StreamVec(id,
+      Array.tabulate(8)(i => if (i == axis) 1.0f else 0.0f))
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_ivf_").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_r13_ivfck_").toString
+    ops.Similarity.ivfAssign(Seq(v(1, 0)).toDF("vec_id", "embedding"), cent)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+    val stream = MemoryStream[StreamVec]
+    def start() = streaming.Streams.ivfIngest(stream.toDF(), cent, dir, Some(ckpt))
+    val q1 = start()
+    try {
+      stream.addData(v(10, 1), v(11, 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    dropLastCommit(ckpt)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // ivfAppend is a bare file-layer append (no novelty screen exists for
+    // vectors that SHOULD accumulate) — a replayed batch lands twice.
+    // This is the Scaladoc's at-least-once contract, pinned here so the
+    // behavior can't drift silently: exact duplicate rows, confined to
+    // the replayed batch's cells, and a dedup-by-vec_id on read (the
+    // named lakehouse-MERGE stand-in) restores batch-assignment parity.
+    val rows = spark.read.parquet(dir)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.count(_._1 == 10L) == 2 && rows.count(_._1 == 11L) == 2,
+      s"replayed batch must appear exactly twice at the file layer, saw $rows")
+    assert(rows.count(_._1 == 1L) == 1, "non-replayed rows must appear once")
+    val deduped = rows.distinct.toMap
+    val want = ops.Similarity.ivfAssign(
+        Seq(v(1, 0), v(10, 1), v(11, 2)).toDF("vec_id", "embedding"), cent)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deduped == want, "dedup-by-vec_id must restore the batch assignment")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+  }
+
   test("screen n_cands counts distinct candidates: a duplicate store row (crashed-append residue) cannot inflate it") {
     import spark.implicits._
     val base = s"graft_r13_dup_${ctr.incrementAndGet()}"
