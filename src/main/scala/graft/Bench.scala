@@ -28,15 +28,20 @@ object Bench {
     * hole — any future map-emitting query would silently regain the very
     * fold-past-the-operator optimism the checksum action exists to kill).
     */
+  /** True when a map lurks anywhere in the type — shared by the checksum
+    * action here and [[Verify]]'s dump-time to_json normalization (both
+    * Spark's hash expressions and the driver's pandas row-hash reject raw
+    * MapType cells). */
+  private[graft] def hasMapType(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
+  }
+
   private[graft] def forceEval(df: org.apache.spark.sql.DataFrame): Unit = {
-    def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-      case _ => false
-    }
     val cols = df.schema.fields.map { f =>
-      if (hasMap(f.dataType)) s"xxhash64(to_json(`${f.name}`))" else s"`${f.name}`"
+      if (hasMapType(f.dataType)) s"xxhash64(to_json(`${f.name}`))" else s"`${f.name}`"
     }
     df.selectExpr(s"bit_xor(xxhash64(struct(${cols.mkString(",")}))) AS checksum")
       .collect()
@@ -106,6 +111,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val QueryCapSec = queryCapSec(sfDir)
+    val gcBetweenQueries = sfOf(sfDir) > 0.5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -191,6 +197,18 @@ object Bench {
       // localCheckpoint lineage truncation in connected components):
       // accumulated blocks shrink execution memory for every later query.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // At scaled SFs, force a GC between queries (VERDICT r13 next #7:
+      // q_tpch21 measured 183.9 s in-sweep vs 39.8 s isolated at sf100).
+      // Spark's ContextCleaner reclaims shuffle files and broadcast blocks
+      // only when their owning objects are GC'd, and a 96 GB heap under a
+      // 185-query sweep can go many queries without a collection — by the
+      // tail of an sf100 sweep, hundreds of GB of dead shuffle files
+      // compete with the parquet reads for page cache. The GC runs OUTSIDE
+      // the timer (per-query numbers are unaffected either way); gated to
+      // sf>0.5 because at the driver's sf0.1 the unpersist hygiene above
+      // has been sufficient since r04 and the extra wall-clock buys
+      // nothing.
+      if (gcBetweenQueries) System.gc()
       sec
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

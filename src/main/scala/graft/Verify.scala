@@ -43,9 +43,22 @@ object Verify {
           "scale — exclude them via SPARK_GRAFT_ONLY or regenerate the oracles")
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Map columns dump as their to_json rendering, same name: the
+        // driver's pandas row-hash cannot hash raw map cells (the r02
+        // q_array_fns2 crash class), so the oracle SQL for a map-emitting
+        // query mirrors the JSON string instead. The registered query
+        // still RETURNS the MapType — Bench's checksum action exercises
+        // the map through its own to_json branch.
+        val normalized = df.select(df.schema.fields.map { f =>
+          if (Bench.hasMapType(f.dataType))
+            org.apache.spark.sql.functions.to_json(
+              org.apache.spark.sql.functions.col(f.name)).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toIndexedSeq: _*)
+        normalized.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Drop persisted blocks (localCheckpoint lineage truncation) so one

@@ -455,6 +455,7 @@ object Similarity {
     * min-label and switches to star contraction past the depth cap. */
   def maintainEmbedClusterStore(s: SparkSession, base: String, batch: DataFrame,
                                 threshold: Double = 0.40): Unit = {
+    recoverLabelSwap(s, base)
     val (bands, bits) = embedStoreParams(s, base)
     val edges = newVerifiedEdges(s, base, batch, threshold, bands, bits)
     val lab = s.table(s"${base}_elabels")
@@ -478,22 +479,75 @@ object Similarity {
     // table the rewrite overwrites (the appendNovel self-read barrier), and
     // the append below changes the band tables the edge derivation read.
     val merged = remapped.unionByName(fresh).localCheckpoint()
-    // Band-store append is novelty-screened on vec_id so a replayed batch
-    // never duplicates store rows ([[appendEmbedBandStore]] writes vectors
-    // first, so a crash mid-append leaves only inert vector rows).
+    // Band-store append novelty is screened against the BAND table, not the
+    // vector table (ADVICE r13): [[appendEmbedBandStore]] writes vectors
+    // first, so a crash between the two writes leaves a vector row with no
+    // band rows — screening on `_evecs` would classify that vector as
+    // non-novel on replay and its band rows would NEVER be written, making
+    // it permanently invisible to candidate generation (both
+    // [[screenEmbedStore]] and [[newVerifiedEdges]] join on `_ebands`).
+    // Screening on `_ebands` re-drives the half-committed append instead;
+    // the resulting duplicate `_evecs` row is already tolerated by the
+    // distinct-candidate conventions in every consumer.
     val novel = batch
-      .join(s.table(s"${base}_evecs").select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(s.table(s"${base}_ebands").select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
       .localCheckpoint()
     appendEmbedBandStore(s, base, novel)
+    publishLabels(s, base, merged)
+  }
+
+  /** Test seam for the label-publish crash windows — production code never
+    * sets these; [[publishLabels]] invokes them at the two seams a crash
+    * could land in. */
+  private[graft] object LabelSwapHooks {
+    @volatile var afterStageWrite: () => Unit = () => ()
+    @volatile var afterDrop: () => Unit = () => ()
+    private[graft] def reset(): Unit = { afterStageWrite = () => (); afterDrop = () => () }
+  }
+
+  /** Crash-safe label-table rewrite (VERDICT r13 next #2): the old
+    * drop-then-overwrite-same-path protocol had a window where a crash
+    * destroyed the only copy of `_elabels`. Now the merged labels land in a
+    * fresh GENERATION location under a `_elabels_stage` table first; only
+    * once that write has fully committed does the catalog swap run (drop old,
+    * rename stage — an external-table rename keeps its location). Every
+    * crash window now leaves a complete readable copy on disk:
+    *   - before/while staging: live table untouched, partial stage is
+    *     garbage the next run's DROP+overwrite clears;
+    *   - after staging, before the drop: both copies complete — rerun wins;
+    *   - between drop and rename: the catalog briefly names neither table,
+    *     but the staged copy is complete — [[recoverLabelSwap]] finishes the
+    *     rename, and [[maintainEmbedClusterStore]] runs it first thing.
+    * The superseded generation's directory is deleted only AFTER the swap
+    * commits. */
+  private[graft] def publishLabels(s: SparkSession, base: String, merged: DataFrame): Unit = {
     val meta = TextOps.storeMeta(s)(
       org.apache.spark.sql.catalyst.TableIdentifier(s"${base}_elabels"))
     val w = meta.bucketSpec.map(_.numBuckets).getOrElse(EmbedStoreBuckets)
-    val labLoc = meta.location.toString
-    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
+    val oldLoc = new java.io.File(new java.net.URI(meta.location.toString))
+    val stageLoc = new java.io.File(oldLoc.getParentFile,
+      s"elabels_g${System.nanoTime()}").toString
+    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels_stage")
     merged.repartition(w, col("vec_id"))
       .write.bucketBy(w, "vec_id").sortBy("vec_id")
-      .option("path", labLoc).mode("overwrite").saveAsTable(s"${base}_elabels")
+      .option("path", stageLoc).mode("overwrite").saveAsTable(s"${base}_elabels_stage")
+    LabelSwapHooks.afterStageWrite()
+    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
+    LabelSwapHooks.afterDrop()
+    s.sql(s"ALTER TABLE ${base}_elabels_stage RENAME TO ${base}_elabels")
+    org.apache.commons.io.FileUtils.deleteQuietly(oldLoc)
   }
+
+  /** Complete a label swap a crash interrupted between drop and rename: the
+    * live name is gone but the staged generation is complete — rename it in.
+    * A no-op whenever `_elabels` exists (any other crash point). Runs first
+    * thing in [[maintainEmbedClusterStore]]; exposed for read-path callers
+    * recovering out-of-band. */
+  private[graft] def recoverLabelSwap(s: SparkSession, base: String): Unit =
+    if (!s.catalog.tableExists(s"${base}_elabels") &&
+        s.catalog.tableExists(s"${base}_elabels_stage"))
+      s.sql(s"ALTER TABLE ${base}_elabels_stage RENAME TO ${base}_elabels")
 
   /** Registered store-backed cluster maintenance — [[embedClusters]]'s
     * incremental twin: the even-vec_id half builds the store + day-0
@@ -655,8 +709,14 @@ object Similarity {
     * nProbe cell directories via a PartitionFilter. Shared by
     * [[ivfPruned]] and [[ivfMaint]] — identical plan, identical oracle. */
   private def probeCellStore(s: SparkSession, d: String, stage: String,
-                             cent: DataFrame): DataFrame = {
-    val q = queryVector(s, d)
+                             cent: DataFrame): DataFrame =
+    probeCellStoreWith(s, stage, cent, queryVector(s, d))
+
+  /** The probe against an explicit query-vector frame — the registered
+    * queries bind it to the fixture's vec_id=0 row via [[probeCellStore]];
+    * tests drive it directly against hand-built stores. */
+  private[graft] def probeCellStoreWith(s: SparkSession, stage: String,
+                                        cent: DataFrame, q: DataFrame): DataFrame = {
     val probeCells = cent.crossJoin(broadcast(q))
       .select(col("cent_id"),
         nanvl(graft.functions.Functions.cosineSim(col("cemb"), col("qemb")), lit(-1.0)).as("cs"))
@@ -667,6 +727,14 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         graft.functions.Functions.cosineSim(col("embedding"), col("qemb")).as("cos"))
+      // Replay invariance (VERDICT r13 next #5): a crash-replayed
+      // [[graft.streaming.Streams.ivfIngest]] batch lands its rows twice at
+      // the file layer (the documented at-least-once contract), and without
+      // this dedup a duplicated vec_id would occupy two top-k slots. The
+      // duplicate rows are bit-identical, so max(cos) == the value; the
+      // aggregate runs AFTER PartitionFilters pruning, over the nProbe
+      // cells only — its cost is bounded by the pruned read, not the store.
+      .groupBy("vec_id").agg(max(col("cos")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 2).as("cos_sim"))
