@@ -591,6 +591,142 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------------
+  // Incremental near-dup cluster MAINTENANCE over the signature store —
+  // the text-tier twin of [[Similarity.maintainEmbedClusterStore]] (r13's
+  // headline), closing the last asymmetry between the two near-dup tiers:
+  // the embed tier had build/append/screen/maintained-clusters, the sig
+  // tier stopped at build/append/screen while [[dedupClusters]] recomputed
+  // signatures + candidates + CC over the WHOLE corpus every run. The
+  // maintained store adds a third table,
+  //   <base>_labels (doc_id, canonical_id)  bucketed by doc_id
+  // — the transitive near-dup cluster labels of everything ingested so
+  // far. Day-N maintenance computes signatures for the BATCH only (store
+  // side exchange-free, the [[screenAgainstStore]] plan), exact-verifies
+  // only NEW-edge pairs (batch×store via the bucketed band join + batch×
+  // batch via [[candidatePairs]] — never re-verifying the accumulated
+  // corpus's edges), and merges labels through a CONTRACTED graph: each
+  // new edge's endpoints collapse to their existing canonical labels
+  // (labels are component MINIMA, so contraction preserves merged minima
+  // — the [[Similarity]] r13 argument, unchanged), so connected components
+  // runs over touched components + new nodes only, not the corpus. The
+  // label table is cluster membership — orders of magnitude smaller than
+  // the corpus — and rewrites in full per run via the crash-safe
+  // stage-then-swap ([[TextOps.publishBucketed]]).
+  // --------------------------------------------------------------------
+
+  /** Build the signature store PLUS the day-0 label table: LSH-verified
+    * pairs within `docs` at `threshold`, connected components, labels
+    * persisted bucketed by doc_id (only documents that belong to some
+    * near-dup cluster appear — the [[dedupClusters]] output convention). */
+  def buildSigClusterStore(s: SparkSession, base: String, loc: String, docs: DataFrame,
+                           threshold: Double = 0.6, buckets: Int = SigStoreBuckets): Unit = {
+    buildSigStore(s, base, loc, docs, buckets)
+    s.sql(s"DROP TABLE IF EXISTS ${base}_labels")
+    connectedComponentsAuto(
+        exactJaccard(candidatePairs(bandsOf(docs)), docs)
+          .filter(col("jaccard") >= threshold).select("doc_a", "doc_b"))
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+      .repartition(buckets, col("doc_id"))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$loc/labels").mode("overwrite").saveAsTable(s"${base}_labels")
+  }
+
+  /** A batch's NEW verified edges: batch×store candidates from the bucketed
+    * band join (the store side moves no rows), token-set-Jaccard-verified
+    * against the store's `_toks` table, plus batch×batch pairs via the
+    * in-flight [[candidatePairs]] pipeline. Together with the edges already
+    * folded into the store's labels this is exactly the full corpus's
+    * verified edge set — without recomputing any accumulated-corpus work. */
+  private[graft] def newVerifiedSigEdges(s: SparkSession, base: String, batch: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val cross = bandsOf(batch)
+      .join(s.table(s"${base}_bands").select(
+        col("band"), col("sig"), col("doc_id").as("ex_id")), Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("ex_id").as("doc_b"))
+      // Inert on a normal day (batch ∩ store = ∅ by the novelty screen),
+      // load-bearing on a REPLAY: a re-delivered batch finds its own docs
+      // in the store, and an unfiltered self-pair (jaccard = 1) would mint
+      // a singleton label row the from-scratch clustering never emits.
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .join(toksOf(batch).select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(s.table(s"${base}_toks").select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .filter(jaccard(col("toks_a"), col("toks_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    cross.unionByName(
+      exactJaccard(candidatePairs(bandsOf(batch)), batch)
+        .filter(col("jaccard") >= threshold).select("doc_a", "doc_b"))
+  }
+
+  /** Day-N cluster maintenance — the [[Similarity.maintainEmbedClusterStore]]
+    * protocol verbatim on the text tier: derive the batch's new verified
+    * edges, CONTRACT each endpoint through the persisted label table, run
+    * connected components over the contracted graph only, write back
+    * remapped + first-time labels, append the batch's store-novel docs.
+    * Novelty screens against the BAND table's distinct doc_ids (the ADVICE
+    * r13 heal: `_toks` appends first, so a crash between the two writes
+    * leaves a token row with no band rows — a `_toks` screen would hide
+    * that doc forever; the `_bands` screen re-drives the half-committed
+    * append, and the duplicate `_toks` row is already tolerated by the
+    * countDistinct conventions in [[screenAgainstStore]]). Label publish is
+    * the crash-safe stage-then-swap, recovered first thing on entry. */
+  def maintainSigClusterStore(s: SparkSession, base: String, batch: DataFrame,
+                              threshold: Double = 0.6): Unit = {
+    TextOps.recoverSwap(s, s"${base}_labels")
+    val edges = newVerifiedSigEdges(s, base, batch, threshold)
+    val lab = s.table(s"${base}_labels")
+    val contracted = edges
+      .join(lab.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca")),
+        Seq("doc_a"), "left")
+      .join(lab.select(col("doc_id").as("doc_b"), col("canonical_id").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+    val m = connectedComponentsAuto(contracted)
+    val remapped = lab
+      .join(m.select(col("id").as("canonical_id"), col("comp").as("newc")),
+        Seq("canonical_id"), "left")
+      .select(col("doc_id"), coalesce(col("newc"), col("canonical_id")).as("canonical_id"))
+    // Contracted nodes not yet labeled = batch docs + store docs whose first
+    // edge ever is a cross edge (they were singletons at build time).
+    val fresh = m.join(lab.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+    // Materialize BEFORE touching the store: the merge reads the very label
+    // table the rewrite replaces (the appendNovel self-read barrier), and
+    // the append below changes the band/toks tables the edge derivation
+    // read.
+    val merged = remapped.unionByName(fresh).localCheckpoint()
+    val novel = batch
+      .join(s.table(s"${base}_bands").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    appendSigStore(s, base, novel)
+    TextOps.publishBucketed(s, s"${base}_labels", "doc_id", SigStoreBuckets, merged)
+  }
+
+  /** Registered store-backed cluster maintenance — [[dedupClusters]]'s
+    * incremental twin: the even-doc_id half builds the store + day-0 labels
+    * (memoized per session × dir), the odd half arrives as a day-N
+    * [[maintainSigClusterStore]] batch, and the query reads the MAINTAINED
+    * label table. The merged fixed point equals from-scratch connected
+    * components over the full corpus's verified edges by construction, so
+    * this shares [[dedupClusters]]'s DuckDB oracle verbatim — the driver
+    * hash-verifies the persisted, incrementally-merged labels against a
+    * full recomputation. */
+  val dedupClustersStore: Q = (s, d) => {
+    val withP = Tables(s, d, "documents")
+      .withColumn("p", pmod(col("doc_id"), lit(2L)))
+    val base = TextOps.canonStoreName(d) + "_scl"
+    TextOps.buildStoreOnce(s, s"sclstore_$d", base) { loc =>
+      buildSigClusterStore(s, base, loc,
+        withP.filter(col("p") === 0).select("doc_id", "text"))
+      maintainSigClusterStore(s, base,
+        withP.filter(col("p") === 1).select("doc_id", "text"))
+    }
+    s.table(s"${base}_labels").select("doc_id", "canonical_id").orderBy("doc_id")
+  }
+
   /** Canonical-representative selection — the step AFTER clustering that
     * decides which physical row survives dedup: per near-dup cluster, keep
     * the longest document (most content), ties to the smallest doc_id, and
@@ -630,6 +766,7 @@ object Dedup {
     "q_neardup_store" -> nearDupStore,
     "q_minhash_pairs" -> minhashPairs,
     "q_dedup_clusters" -> dedupClusters,
+    "q_dedup_clusters_store" -> dedupClustersStore,
     "q_simhash" -> simhash,
     "q_minhash_sig" -> minhashSig,
     "q_simhash_sig" -> simhashSig,
@@ -760,6 +897,11 @@ object Dedup {
     "q_simhash" -> SimhashOracle,
     "q_minhash_pairs" -> MinhashPairsOracle,
     "q_dedup_clusters" -> DedupClustersOracle,
+    // The maintained-store labels' contract IS the from-scratch clustering's
+    // (the [[dedupClustersStore]] parity argument): one DuckDB mirror
+    // hash-checks both paths, which is exactly what proves the persisted,
+    // incrementally-merged label table holds the right content.
+    "q_dedup_clusters_store" -> DedupClustersOracle,
     "q_cluster_keep" -> ClusterKeepOracle,
     "q_minhash_sig" -> MinhashSigOracle,
     "q_simhash_sig" -> SimhashSigOracle,

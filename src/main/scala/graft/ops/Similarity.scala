@@ -497,57 +497,21 @@ object Similarity {
     publishLabels(s, base, merged)
   }
 
-  /** Test seam for the label-publish crash windows — production code never
-    * sets these; [[publishLabels]] invokes them at the two seams a crash
-    * could land in. */
-  private[graft] object LabelSwapHooks {
-    @volatile var afterStageWrite: () => Unit = () => ()
-    @volatile var afterDrop: () => Unit = () => ()
-    private[graft] def reset(): Unit = { afterStageWrite = () => (); afterDrop = () => () }
-  }
+  /** Test-seam alias: the label publish's crash hooks live in the shared
+    * [[TextOps.SwapHooks]] (one stage-then-swap implementation serves every
+    * full-rewrite label table — embed AND sig cluster tiers). */
+  private[graft] val LabelSwapHooks = TextOps.SwapHooks
 
-  /** Crash-safe label-table rewrite (VERDICT r13 next #2): the old
-    * drop-then-overwrite-same-path protocol had a window where a crash
-    * destroyed the only copy of `_elabels`. Now the merged labels land in a
-    * fresh GENERATION location under a `_elabels_stage` table first; only
-    * once that write has fully committed does the catalog swap run (drop old,
-    * rename stage — an external-table rename keeps its location). Every
-    * crash window now leaves a complete readable copy on disk:
-    *   - before/while staging: live table untouched, partial stage is
-    *     garbage the next run's DROP+overwrite clears;
-    *   - after staging, before the drop: both copies complete — rerun wins;
-    *   - between drop and rename: the catalog briefly names neither table,
-    *     but the staged copy is complete — [[recoverLabelSwap]] finishes the
-    *     rename, and [[maintainEmbedClusterStore]] runs it first thing.
-    * The superseded generation's directory is deleted only AFTER the swap
-    * commits. */
-  private[graft] def publishLabels(s: SparkSession, base: String, merged: DataFrame): Unit = {
-    val meta = TextOps.storeMeta(s)(
-      org.apache.spark.sql.catalyst.TableIdentifier(s"${base}_elabels"))
-    val w = meta.bucketSpec.map(_.numBuckets).getOrElse(EmbedStoreBuckets)
-    val oldLoc = new java.io.File(new java.net.URI(meta.location.toString))
-    val stageLoc = new java.io.File(oldLoc.getParentFile,
-      s"elabels_g${System.nanoTime()}").toString
-    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels_stage")
-    merged.repartition(w, col("vec_id"))
-      .write.bucketBy(w, "vec_id").sortBy("vec_id")
-      .option("path", stageLoc).mode("overwrite").saveAsTable(s"${base}_elabels_stage")
-    LabelSwapHooks.afterStageWrite()
-    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
-    LabelSwapHooks.afterDrop()
-    s.sql(s"ALTER TABLE ${base}_elabels_stage RENAME TO ${base}_elabels")
-    org.apache.commons.io.FileUtils.deleteQuietly(oldLoc)
-  }
+  /** Crash-safe label-table rewrite (VERDICT r13 next #2) — the shared
+    * stage-then-swap protocol, see [[TextOps.publishBucketed]]. */
+  private[graft] def publishLabels(s: SparkSession, base: String, merged: DataFrame): Unit =
+    TextOps.publishBucketed(s, s"${base}_elabels", "vec_id", EmbedStoreBuckets, merged)
 
-  /** Complete a label swap a crash interrupted between drop and rename: the
-    * live name is gone but the staged generation is complete — rename it in.
-    * A no-op whenever `_elabels` exists (any other crash point). Runs first
-    * thing in [[maintainEmbedClusterStore]]; exposed for read-path callers
-    * recovering out-of-band. */
+  /** Complete a label swap a crash interrupted between drop and rename —
+    * [[TextOps.recoverSwap]]; [[maintainEmbedClusterStore]] runs it first
+    * thing, and read-path callers can recover out-of-band. */
   private[graft] def recoverLabelSwap(s: SparkSession, base: String): Unit =
-    if (!s.catalog.tableExists(s"${base}_elabels") &&
-        s.catalog.tableExists(s"${base}_elabels_stage"))
-      s.sql(s"ALTER TABLE ${base}_elabels_stage RENAME TO ${base}_elabels")
+    TextOps.recoverSwap(s, s"${base}_elabels")
 
   /** Registered store-backed cluster maintenance — [[embedClusters]]'s
     * incremental twin: the even-vec_id half builds the store + day-0

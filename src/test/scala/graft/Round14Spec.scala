@@ -343,6 +343,147 @@ class Round14Spec extends AnyFunSuite {
     assert(bucketsFor(Long.MaxValue / 2) == 4096)
   }
 
+  // ------------------------------------------------------------------
+  // 7. Incremental sig-store cluster maintenance — the text-tier twin of
+  //    r13's maintained embed clusters, closing the last asymmetry between
+  //    the two near-dup tiers.
+  // ------------------------------------------------------------------
+
+  // Disjoint 20-word vocabularies per planted cluster: exact-duplicate
+  // texts share every shingle, so their signatures collide in every band
+  // (candidacy is deterministic, no S-curve roll); cross-cluster token
+  // jaccard is 0.
+  private def words(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+  private val (tA, tC, tE, tF, tG, tH) =
+    (words("alpha"), words("charlie"), words("echo"),
+     words("foxtrot"), words("golf"), words("hotel"))
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  // day-0: {1,2} cluster, 3/5/6 singletons (no label rows).
+  private def sigDay0 = docsDF(1L -> tA, 2L -> tA, 3L -> tC, 5L -> tE, 6L -> tF)
+  // day-1: 10 merges into {1,2}; 11 gives store-singleton 5 its FIRST edge;
+  // {12,13} is a brand-new cluster; 14 is novel and alone.
+  private def sigDay1 = docsDF(10L -> tA, 11L -> tE, 12L -> tG, 13L -> tG, 14L -> tH)
+  private val sigDay1Want = Map(1L -> 1L, 2L -> 1L, 10L -> 1L,
+    5L -> 5L, 11L -> 5L, 12L -> 12L, 13L -> 12L)
+
+  private def dropSigTables(base: String): Unit =
+    Seq("_bands", "_toks", "_labels", "_labels_stage").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+
+  test("sig cluster maintenance: cross-day merge, first-edge store singleton, new cluster — labels equal from-scratch") {
+    val base = s"graft_r14_scl_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r14_scl_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      assert(labelsOf(s"${base}_labels") == Map(1L -> 1L, 2L -> 1L),
+        "day-0 labels must hold only the built half's clusters")
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(labelsOf(s"${base}_labels") == sigDay1Want,
+        "maintained labels must equal from-scratch clustering of the union")
+      // Every day-1 doc was absorbed exactly once into both store tables.
+      val bandDocs = spark.table(s"${base}_bands").select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(Set(10L, 11L, 12L, 13L, 14L).subsetOf(bandDocs))
+      val tokCounts = spark.table(s"${base}_toks").groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tokCounts.values.forall(_ == 1L), s"clean run must not duplicate toks: $tokCounts")
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("sig cluster maintenance replay: a re-delivered batch is a fixed point with no duplicate store rows") {
+    val base = s"graft_r14_sclr_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r14_sclr_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      val bandRows = spark.table(s"${base}_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(labelsOf(s"${base}_labels") == sigDay1Want, "replay must stay at the fixed point")
+      val after = spark.table(s"${base}_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+      assert(after == bandRows, "replay must not duplicate band rows")
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("sig maintenance heals a toks-written-bands-missing crash: band rows re-driven, labels equal from-scratch") {
+    val base = s"graft_r14_sclh_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r14_sclh_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      // Simulate appendSigStore dying between its two writes: the batch's
+      // TOKEN rows land, its band rows never do ( _toks appends first).
+      sigDay1.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .repartition(8, col("doc_id"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("append").saveAsTable(s"${base}_toks")
+      assert(spark.table(s"${base}_bands").filter(col("doc_id") >= 10L).count() == 0L,
+        "fixture: day-1 must have token rows but no band rows")
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(labelsOf(s"${base}_labels") == sigDay1Want,
+        "healed maintenance must produce the from-scratch labels")
+      val bandKeys = spark.table(s"${base}_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      assert(bandKeys.size == bandKeys.distinct.size, "band rows must not duplicate")
+      assert(Seq(10L, 11L, 12L, 13L, 14L).forall(id => bandKeys.exists(_._1 == id)),
+        "every day-1 doc must be band-visible after the heal")
+      // Tolerated residue: duplicated toks rows for the re-driven batch —
+      // and the screen still counts DISTINCT candidates through them.
+      val tokCounts = spark.table(s"${base}_toks").groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(tokCounts(10L) == 2L && tokCounts(1L) == 1L)
+      val screened = ops.Dedup.screenAgainstStore(spark, base, docsDF(100L -> tG))
+        .collect().head
+      assert(!screened.getAs[Boolean]("novel") && screened.getAs[Long]("n_cands") == 2L,
+        "screens must see the healed batch and count DISTINCT candidates")
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("sig label publish rides the shared crash-safe swap: a crash between drop and rename is recoverable") {
+    val base = s"graft_r14_scls_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r14_scls_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      ops.TextOps.SwapHooks.afterDrop =
+        () => throw new RuntimeException("injected crash between drop and rename")
+      try intercept[RuntimeException] {
+        ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      } finally ops.TextOps.SwapHooks.reset()
+      assert(!spark.catalog.tableExists(s"${base}_labels"))
+      assert(spark.catalog.tableExists(s"${base}_labels_stage"))
+      // Maintenance itself recovers the half-committed swap on entry.
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(labelsOf(s"${base}_labels") == sigDay1Want)
+      assert(!spark.catalog.tableExists(s"${base}_labels_stage"))
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("registered q_dedup_clusters_store equals from-scratch q_dedup_clusters on real data") {
+    val d = "/root/testdata/sf0.001"
+    val maintained = ops.Dedup.dedupClustersStore(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scratch = ops.Dedup.dedupClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(maintained == scratch,
+      "the maintained label table must match full recomputation row for row")
+    assert(maintained.nonEmpty)
+  }
+
   test("q_map_agg emits a deterministic MapType: sorted keys, to_json rendering matches the oracle's JSON construction") {
     import org.apache.spark.sql.types.MapType
     val df = ops.Extended.mapAgg(spark, "/root/testdata/sf0.001")
