@@ -724,6 +724,11 @@ object Dedup {
       maintainSigClusterStore(s, base,
         withP.filter(col("p") === 1).select("doc_id", "text"))
     }
+    // The read path recovers a half-committed label swap itself (VERDICT
+    // r14 next #3): a crash between drop and rename used to take the
+    // registered query down — table absent — until the NEXT maintenance
+    // run, even though the staged copy was complete on disk.
+    TextOps.recoverSwap(s, s"${base}_labels")
     s.table(s"${base}_labels").select("doc_id", "canonical_id").orderBy("doc_id")
   }
 

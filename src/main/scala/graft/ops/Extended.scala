@@ -395,7 +395,9 @@ object Extended {
     * [[bucketsFor]] doubles the width until a bucket holds ≤ ~4M rows of
     * the larger fact — the bucketed-table analog of the decade-scaled
     * shuffle partitions the harness already applies, provisioned once at
-    * ingest from the day-0 row count (parquet metadata, no data scan).
+    * ingest from the day-0 row count (a cheap zero-column count job —
+    * footer-driven for parquet; ADVICE r14: it IS a Spark scan job, just
+    * one that moves no column data).
     * Both sides share the width, so the zero-exchange co-location pin is
     * untouched at every SF. */
   private[graft] def bucketsFor(rows: Long, targetRowsPerBucket: Long = 4000000L,
@@ -485,9 +487,12 @@ object Extended {
     // Mirrors Verify's to_json normalization of the MapType column: JSON
     // built by hand with an event_type-ordered string_agg — byte-identical
     // to Spark's to_json of the sorted map_from_entries (no spaces, keys in
-    // the same order, plain integer values).
+    // the same order, plain integer values). Keys escape `\` then `"` —
+    // exactly Jackson's rendering of both (ADVICE r14: unescaped concat
+    // would diverge on any key needing escaping; the remaining gap, JSON
+    // control-char escapes, is outside the events fixture's [a-z_] domain).
     "q_map_agg" ->
-      """SELECT user_id, '{' || string_agg('"' || event_type || '":' || CAST(cnt AS VARCHAR), ',' ORDER BY event_type) || '}' AS type_counts FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id""",
+      """SELECT user_id, '{' || string_agg('"' || replace(replace(event_type, '\', '\\'), '"', '\"') || '":' || CAST(cnt AS VARCHAR), ',' ORDER BY event_type) || '}' AS type_counts FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) t GROUP BY user_id ORDER BY user_id""",
     "q_partitioned_scan" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
     "q_bucketed_join" ->

@@ -509,7 +509,7 @@ object Similarity {
 
   /** Complete a label swap a crash interrupted between drop and rename —
     * [[TextOps.recoverSwap]]; [[maintainEmbedClusterStore]] runs it first
-    * thing, and read-path callers can recover out-of-band. */
+    * thing, and the registered read path runs it before every label read. */
   private[graft] def recoverLabelSwap(s: SparkSession, base: String): Unit =
     TextOps.recoverSwap(s, s"${base}_elabels")
 
@@ -536,6 +536,9 @@ object Similarity {
       maintainEmbedClusterStore(s, base,
         withP.filter(col("p") === 1).select("vec_id", "embedding"))
     }
+    // The read path recovers a half-committed label swap itself (VERDICT
+    // r14 next #3) — the [[ops.Dedup.dedupClustersStore]] rationale.
+    recoverLabelSwap(s, base)
     s.table(s"${base}_elabels").select("vec_id", "canonical_id").orderBy("vec_id")
   }
 

