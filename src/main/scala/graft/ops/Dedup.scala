@@ -702,6 +702,13 @@ object Dedup {
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     appendSigStore(s, base, novel)
+    // Registered compaction cadence (VERDICT r15 next #4): once a bucket
+    // accretes past the [[TextOps.MaintCompactFilesPerBucket]] append
+    // files, rewrite it — and in the key-unique `_toks` table, retire any
+    // duplicate row the band-screen heal's re-driven append tolerated.
+    TextOps.compactStore(s, s"${base}_toks",
+      maxFilesPerBucket = TextOps.MaintCompactFilesPerBucket,
+      dedupKeys = Seq("doc_id"))
     TextOps.publishBucketed(s, s"${base}_labels", "doc_id", SigStoreBuckets, merged)
   }
 

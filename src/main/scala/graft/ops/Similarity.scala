@@ -494,6 +494,13 @@ object Similarity {
         Seq("vec_id"), "left_anti")
       .localCheckpoint()
     appendEmbedBandStore(s, base, novel)
+    // Registered compaction cadence (VERDICT r15 next #4): once a bucket
+    // accretes past the [[TextOps.MaintCompactFilesPerBucket]] append
+    // files, rewrite it — and in the key-unique `_evecs` table, retire any
+    // duplicate row the band-screen heal's re-driven append tolerated.
+    TextOps.compactStore(s, s"${base}_evecs",
+      maxFilesPerBucket = TextOps.MaintCompactFilesPerBucket,
+      dedupKeys = Seq("vec_id"))
     publishLabels(s, base, merged)
   }
 
