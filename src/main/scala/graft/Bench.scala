@@ -109,6 +109,11 @@ object Bench {
     })
 
   def main(args: Array[String]): Unit = {
+    // Heap sizing for sweeps: see the GRAFT_HEAP rule in [[ProbeQ]]'s
+    // scaladoc — full-session sf100 sweeps need 96 g (32 g OOMs the
+    // 187-query session), isolated scan-heavy probes want 32 g (a 96 g
+    // pinned heap starves the page cache), and numbers are only comparable
+    // within one heap size.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val QueryCapSec = queryCapSec(sfDir)
     val gcBetweenQueries = sfOf(sfDir) > 0.5

@@ -34,7 +34,7 @@ object EmbedMaintProbe {
         emb.filter(col("p") === 0).select("vec_id", "embedding"))
     }
     TimeProbe.time("steady-state label read") {
-      Bench.forceEval(spark.table("graft_emp_elabels"))
+      Bench.forceEval(ops.TextOps.readLabels(spark, "graft_emp_elabels", "vec_id"))
     }
     spark.stop()
   }

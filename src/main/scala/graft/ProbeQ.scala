@@ -6,7 +6,22 @@ import org.apache.spark.sql.SparkSession
   * arbitrary data dir — `runMain graft.ProbeQ <dir> <q1> <q2> ...`. The
   * quiet-session counterpart to Bench's contended full sweep (PERF_NOTES
   * convention since r06: bench outliers are adjudicated against isolated
-  * medians, and scaling ratios against same-harness runs). */
+  * medians, and scaling ratios against same-harness runs).
+  *
+  * GRAFT_HEAP (tools/runjava.sh's -Xms=-Xmx knob) — the measured rule on
+  * this 125 GiB box (PERF_NOTES r17, probeq vs probeq32 logs): at sf100 a
+  * 96 g pinned heap leaves ~25 GiB for the OS page cache, so SCAN-heavy
+  * queries lose file residency and turn into a coin flip (q_tpch21 median
+  * 147.5 s at 96 g vs 54.6 s at 32 g in full isolation), while
+  * AGGREGATION-SPILL-heavy queries invert (q_dup_ngrams 321.5 s at 32 g vs
+  * 184.4 s at 96 g — the spill wants the heap). Therefore: isolated ProbeQ
+  * runs default to 32 g (runjava's default — cache-friendly, matches the
+  * r13+ tail-matrix convention); full-session sf100 SWEEPS need
+  * GRAFT_HEAP=96g (32 g OOMed the 187-query session in r13); and a number
+  * measured under one heap is never compared against the other. On a real
+  * cluster the same tradeoff is executor-memory vs host-cache
+  * provisioning: spill-bound stages size the executor, scan-bound stages
+  * want the difference left to the OS. */
 object ProbeQ {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ProbeQ <sfDir> <query>...")

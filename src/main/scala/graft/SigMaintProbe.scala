@@ -34,7 +34,7 @@ object SigMaintProbe {
         docs.filter(col("p") === 0).select("doc_id", "text"))
     }
     TimeProbe.time("steady-state label read") {
-      Bench.forceEval(spark.table("graft_smp_labels"))
+      Bench.forceEval(ops.TextOps.readLabels(spark, "graft_smp_labels", "doc_id"))
     }
     spark.stop()
   }

@@ -611,8 +611,11 @@ object Dedup {
   // — the [[Similarity]] r13 argument, unchanged), so connected components
   // runs over touched components + new nodes only, not the corpus. The
   // label table is cluster membership — orders of magnitude smaller than
-  // the corpus — and rewrites in full per run via the crash-safe
-  // stage-then-swap ([[TextOps.publishBucketed]]).
+  // the corpus — and publishes per-run DELTAS (changed ∪ first-time rows,
+  // [[TextOps.publishLabelDelta]]) that fold into a fresh base generation
+  // at the [[TextOps.LabelFoldRuns]] cadence via the crash-safe
+  // stage-then-swap ([[TextOps.publishBucketed]]); readers overlay
+  // latest-wins ([[TextOps.readLabels]]).
   // --------------------------------------------------------------------
 
   /** Build the signature store PLUS the day-0 label table: LSH-verified
@@ -623,6 +626,9 @@ object Dedup {
                            threshold: Double = 0.6, buckets: Int = SigStoreBuckets): Unit = {
     buildSigStore(s, base, loc, docs, buckets)
     s.sql(s"DROP TABLE IF EXISTS ${base}_labels")
+    // A delta left over from a prior store registered under the same name
+    // would overlay stale labels onto the fresh day-0 build.
+    s.sql(s"DROP TABLE IF EXISTS ${base}_labels_delta")
     connectedComponentsAuto(
         exactJaccard(candidatePairs(bandsOf(docs)), docs)
           .filter(col("jaccard") >= threshold).select("doc_a", "doc_b"))
@@ -670,12 +676,15 @@ object Dedup {
     * that doc forever; the `_bands` screen re-drives the half-committed
     * append, and the duplicate `_toks` row is already tolerated by the
     * countDistinct conventions in [[screenAgainstStore]]). Label publish is
-    * the crash-safe stage-then-swap, recovered first thing on entry. */
+    * the DELTA append ([[TextOps.publishLabelDelta]] — changed ∪ first-time
+    * rows only, folding into a fresh base generation every
+    * [[TextOps.LabelFoldRuns]] runs through the crash-safe stage-then-swap),
+    * recovered first thing on entry. */
   def maintainSigClusterStore(s: SparkSession, base: String, batch: DataFrame,
                               threshold: Double = 0.6): Unit = {
     TextOps.recoverSwap(s, s"${base}_labels")
     val edges = newVerifiedSigEdges(s, base, batch, threshold)
-    val lab = s.table(s"${base}_labels")
+    val lab = TextOps.readLabels(s, s"${base}_labels", "doc_id")
     val contracted = edges
       .join(lab.select(col("doc_id").as("doc_a"), col("canonical_id").as("ca")),
         Seq("doc_a"), "left")
@@ -684,19 +693,27 @@ object Dedup {
       .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
         coalesce(col("cb"), col("doc_b")).as("doc_b"))
     val m = connectedComponentsAuto(contracted)
-    val remapped = lab
+    // Labels whose canonical CHANGED under the merge — an inner join
+    // against the small component map (broadcast side), so only the
+    // touched minority survives. Pre-r18 this was a left join producing
+    // ALL labels for a corpus-sized full-table rewrite; now only the
+    // changed ∪ first-time delta is derived, materialized, and published
+    // (VERDICT r17 next #2 — at sf100 the full rewrite made a 1% batch
+    // cost 1.2× the bare clustering).
+    val changed = lab
       .join(m.select(col("id").as("canonical_id"), col("comp").as("newc")),
-        Seq("canonical_id"), "left")
-      .select(col("doc_id"), coalesce(col("newc"), col("canonical_id")).as("canonical_id"))
+        Seq("canonical_id"))
+      .filter(col("newc") =!= col("canonical_id"))
+      .select(col("doc_id"), col("newc").as("canonical_id"))
     // Contracted nodes not yet labeled = batch docs + store docs whose first
     // edge ever is a cross edge (they were singletons at build time).
     val fresh = m.join(lab.select(col("doc_id").as("id")), Seq("id"), "left_anti")
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
-    // Materialize BEFORE touching the store: the merge reads the very label
-    // table the rewrite replaces (the appendNovel self-read barrier), and
-    // the append below changes the band/toks tables the edge derivation
-    // read.
-    val merged = remapped.unionByName(fresh).localCheckpoint()
+    // Materialize BEFORE touching the store: the delta derivation reads the
+    // very label tables the publish appends to (the appendNovel self-read
+    // barrier), and the append below changes the band/toks tables the edge
+    // derivation read. The checkpoint is DELTA-sized now, not corpus-sized.
+    val delta = changed.unionByName(fresh).localCheckpoint()
     val novel = batch
       .join(s.table(s"${base}_bands").select("doc_id").distinct(),
         Seq("doc_id"), "left_anti")
@@ -705,11 +722,17 @@ object Dedup {
     // Registered compaction cadence (VERDICT r15 next #4): once a bucket
     // accretes past the [[TextOps.MaintCompactFilesPerBucket]] append
     // files, rewrite it — and in the key-unique `_toks` table, retire any
-    // duplicate row the band-screen heal's re-driven append tolerated.
+    // duplicate row the band-screen heal's re-driven append tolerated. The
+    // multi-row-per-key `_bands` table rides the same cadence with no key
+    // retirement (ADVICE r17 medium: it accretes one file per bucket per
+    // append too, and every screen and edge derivation joins it — without
+    // compaction its single-file sort-free scan property degraded forever).
     TextOps.compactStore(s, s"${base}_toks",
       maxFilesPerBucket = TextOps.MaintCompactFilesPerBucket,
       dedupKeys = Seq("doc_id"))
-    TextOps.publishBucketed(s, s"${base}_labels", "doc_id", SigStoreBuckets, merged)
+    TextOps.compactStore(s, s"${base}_bands",
+      maxFilesPerBucket = TextOps.MaintCompactFilesPerBucket)
+    TextOps.publishLabelDelta(s, s"${base}_labels", "doc_id", SigStoreBuckets, delta)
   }
 
   /** Registered store-backed cluster maintenance — [[dedupClusters]]'s
@@ -734,9 +757,11 @@ object Dedup {
     // The read path recovers a half-committed label swap itself (VERDICT
     // r14 next #3): a crash between drop and rename used to take the
     // registered query down — table absent — until the NEXT maintenance
-    // run, even though the staged copy was complete on disk.
+    // run, even though the staged copy was complete on disk. The read is
+    // the delta-overlay view ([[TextOps.readLabels]]): base bucketed scan
+    // + broadcast anti-join against the cadence-bounded delta.
     TextOps.recoverSwap(s, s"${base}_labels")
-    s.table(s"${base}_labels").select("doc_id", "canonical_id").orderBy("doc_id")
+    TextOps.readLabels(s, s"${base}_labels", "doc_id").orderBy("doc_id")
   }
 
   /** Canonical-representative selection — the step AFTER clustering that

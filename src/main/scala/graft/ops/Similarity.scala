@@ -405,6 +405,9 @@ object Similarity {
                              buckets: Int = EmbedStoreBuckets): Unit = {
     buildEmbedBandStore(s, base, loc, vecs, bands, bits, buckets)
     s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
+    // A delta left over from a prior store registered under the same name
+    // would overlay stale labels onto the fresh day-0 build.
+    s.sql(s"DROP TABLE IF EXISTS ${base}_elabels_delta")
     Dedup.connectedComponentsAuto(
         embedNearDupBanded(vecs, threshold, bands, bits)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
@@ -446,8 +449,9 @@ object Similarity {
     * already in a cluster collapses to its canonical id — labels are
     * component MINIMA, so the contracted graph's min-label components are
     * the merged graph's true minima), run connected components over that
-    * contracted graph only, then write back: existing labels remapped
-    * through the merge result, plus first-time-clustered nodes. Appends the
+    * contracted graph only, then publish the DELTA: labels whose canonical
+    * changed plus first-time-clustered nodes, appended latest-wins and
+    * folded at the [[TextOps.LabelFoldRuns]] cadence. Appends the
     * batch's store-novel vectors into the band store (replay-idempotent:
     * a replayed batch's vectors are no longer novel, and the label merge
     * recomputes the same deterministic fixed point). Deep merge chains are
@@ -458,7 +462,7 @@ object Similarity {
     recoverLabelSwap(s, base)
     val (bands, bits) = embedStoreParams(s, base)
     val edges = newVerifiedEdges(s, base, batch, threshold, bands, bits)
-    val lab = s.table(s"${base}_elabels")
+    val lab = TextOps.readLabels(s, s"${base}_elabels", "vec_id")
     val contracted = edges
       .join(lab.select(col("vec_id").as("vec_a"), col("canonical_id").as("ca")),
         Seq("vec_a"), "left")
@@ -467,18 +471,24 @@ object Similarity {
       .select(coalesce(col("ca"), col("vec_a")).as("doc_a"),
         coalesce(col("cb"), col("vec_b")).as("doc_b"))
     val m = Dedup.connectedComponentsAuto(contracted)
-    val remapped = lab
+    // Labels whose canonical CHANGED under the merge — inner join against
+    // the small component map, touched minority only (the
+    // [[Dedup.maintainSigClusterStore]] delta derivation, VERDICT r17
+    // next #2: the full-table rewrite dominated a 1% batch at scale).
+    val changed = lab
       .join(m.select(col("id").as("canonical_id"), col("comp").as("newc")),
-        Seq("canonical_id"), "left")
-      .select(col("vec_id"), coalesce(col("newc"), col("canonical_id")).as("canonical_id"))
+        Seq("canonical_id"))
+      .filter(col("newc") =!= col("canonical_id"))
+      .select(col("vec_id"), col("newc").as("canonical_id"))
     // Contracted nodes not yet labeled = batch vectors + store vectors whose
     // first edge ever is a cross edge (they were singletons at build time).
     val fresh = m.join(lab.select(col("vec_id").as("id")), Seq("id"), "left_anti")
       .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
-    // Materialize BEFORE touching the store: the merge reads the very label
-    // table the rewrite overwrites (the appendNovel self-read barrier), and
-    // the append below changes the band tables the edge derivation read.
-    val merged = remapped.unionByName(fresh).localCheckpoint()
+    // Materialize BEFORE touching the store: the delta derivation reads the
+    // very label tables the publish appends to (the appendNovel self-read
+    // barrier), and the append below changes the band tables the edge
+    // derivation read. The checkpoint is DELTA-sized now, not corpus-sized.
+    val delta = changed.unionByName(fresh).localCheckpoint()
     // Band-store append novelty is screened against the BAND table, not the
     // vector table (ADVICE r13): [[appendEmbedBandStore]] writes vectors
     // first, so a crash between the two writes leaves a vector row with no
@@ -501,18 +511,23 @@ object Similarity {
     TextOps.compactStore(s, s"${base}_evecs",
       maxFilesPerBucket = TextOps.MaintCompactFilesPerBucket,
       dedupKeys = Seq("vec_id"))
-    publishLabels(s, base, merged)
+    // The multi-row-per-key `_ebands` table rides the same cadence with no
+    // key retirement (ADVICE r17 medium: it accretes one file per bucket
+    // per append too, and every screen and edge derivation joins it).
+    TextOps.compactStore(s, s"${base}_ebands",
+      maxFilesPerBucket = TextOps.MaintCompactFilesPerBucket)
+    publishLabels(s, base, delta)
   }
 
   /** Test-seam alias: the label publish's crash hooks live in the shared
     * [[TextOps.SwapHooks]] (one stage-then-swap implementation serves every
-    * full-rewrite label table — embed AND sig cluster tiers). */
+    * label table's fold — embed AND sig cluster tiers). */
   private[graft] val LabelSwapHooks = TextOps.SwapHooks
 
-  /** Crash-safe label-table rewrite (VERDICT r13 next #2) — the shared
-    * stage-then-swap protocol, see [[TextOps.publishBucketed]]. */
-  private[graft] def publishLabels(s: SparkSession, base: String, merged: DataFrame): Unit =
-    TextOps.publishBucketed(s, s"${base}_elabels", "vec_id", EmbedStoreBuckets, merged)
+  /** Delta-proportional label publish (VERDICT r17 next #2) — the shared
+    * append-then-fold protocol, see [[TextOps.publishLabelDelta]]. */
+  private[graft] def publishLabels(s: SparkSession, base: String, delta: DataFrame): Unit =
+    TextOps.publishLabelDelta(s, s"${base}_elabels", "vec_id", EmbedStoreBuckets, delta)
 
   /** Complete a label swap a crash interrupted between drop and rename —
     * [[TextOps.recoverSwap]]; [[maintainEmbedClusterStore]] runs it first
@@ -544,9 +559,10 @@ object Similarity {
         withP.filter(col("p") === 1).select("vec_id", "embedding"))
     }
     // The read path recovers a half-committed label swap itself (VERDICT
-    // r14 next #3) — the [[ops.Dedup.dedupClustersStore]] rationale.
+    // r14 next #3) — the [[ops.Dedup.dedupClustersStore]] rationale — and
+    // reads the delta-overlay view ([[TextOps.readLabels]]).
     recoverLabelSwap(s, base)
-    s.table(s"${base}_elabels").select("vec_id", "canonical_id").orderBy("vec_id")
+    TextOps.readLabels(s, s"${base}_elabels", "vec_id").orderBy("vec_id")
   }
 
   /** Array scalar functions over the embedding column (size / index /
@@ -727,6 +743,44 @@ object Similarity {
     * systems alternate cheap appends with occasional retrains. */
   def ivfAppend(newVecs: DataFrame, cent: DataFrame, dir: String): Unit =
     ivfAssign(newVecs, cent).write.mode("append").partitionBy("cell").parquet(dir)
+
+  /** Compact the IVF cell store after append accretion — the cell-layout
+    * twin of [[TextOps.compactStore]] (VERDICT r17 next #6: every
+    * [[ivfAppend]] / [[graft.streaming.Streams.ivfIngest]] micro-batch
+    * lands one file per TOUCHED cell, and nothing else bounded the
+    * per-cell file count). Cells holding more than `maxFilesPerCell` files
+    * are rewritten to one file; under-threshold cells are untouched, so at
+    * 100 TB the cost is proportional to the cells that actually accreted.
+    * The rewrite is full-row `distinct()`, which retires the bit-identical
+    * duplicate rows a crash-replayed ingest batch lands (the documented
+    * at-least-once contract) — the probe's max(cos) replay guard keeps
+    * working either way, this just stops paying their storage and scan
+    * cost forever. Serving loops alternate: cheap appends per batch, this
+    * compaction on the maintenance cadence, [[ivfKmeans]] retrains on
+    * drift. Same reader-isolation caveat as [[TextOps.compactStore]]:
+    * schedule from the store's single maintenance process. Returns the
+    * number of cells compacted. */
+  def ivfCompactCells(s: SparkSession, dir: String, maxFilesPerCell: Int = 3): Int = {
+    import scala.collection.parallel.CollectionConverters._
+    val cells = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    val oversized = cells.filter(c =>
+      c.listFiles().count(f => f.isFile && f.getName.startsWith("part-")) > maxFilesPerCell)
+    oversized.par.foreach { cell =>
+      val files = cell.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_compact_")
+      s.read.parquet(files.map(_.getPath): _*)
+        .distinct().coalesce(1).write.parquet(s"$tmp/out")
+      val written = new java.io.File(s"$tmp/out").listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"compaction of ${cell.getName} wrote no file"))
+      val dst = new java.io.File(cell, written.getName)
+      java.nio.file.Files.move(written.toPath, dst.toPath)
+      files.foreach(f => java.nio.file.Files.delete(f.toPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    oversized.length
+  }
 
   /** Registered maintenance query: half the corpus stages the store, the
     * other half arrives as a day-N [[ivfAppend]]; the probe then runs the

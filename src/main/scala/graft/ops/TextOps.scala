@@ -522,12 +522,8 @@ object TextOps {
           s"${orphans.length - failed.length} orphan generation(s)" +
           (if (failed.isEmpty) ""
            else s"; FAILED to delete ${failed.map(_.getName).mkString(",")} — will retry next publish"))
-      // Zero-padded to 19 digits so a generation name ALWAYS matches
-      // [[GenSuffixRe]] — nanoTime counts from an arbitrary origin (boot on
-      // Linux) and can be fewer than 13 digits on a freshly-started box,
-      // which would hide the new generation from the orphan sweep forever.
       val stageLoc = new java.io.File(parent,
-        f"${stem}_g${System.nanoTime()}%019d").toString
+        genDirName(stem, System.nanoTime())).toString
       df.repartition(w, col(bucketCol))
         .write.bucketBy(w, bucketCol).sortBy(bucketCol)
         .option("path", stageLoc).mode("overwrite").saveAsTable(s"${tbl}_stage")
@@ -595,10 +591,36 @@ object TextOps {
     * post-strip would sweep each other's LIVE generations as orphans.
     * nanoTime values on any box up more than ~20 minutes are ≥ 13 digits,
     * and a human-chosen name ending in 13+ digits after `_g` is not a
-    * plausible collision, so require ≥ 13. */
+    * plausible collision, so require ≥ 13.
+    *
+    * MIGRATION NOTE (ADVICE r17 low): generations written by pre-r17 code
+    * used UNPADDED nanoTime, which has < 13 digits on a box up less than
+    * ~2.8 hours. A store published by that code on such a box, carried
+    * forward without a [[StemProp]] property, would parse its stem as the
+    * full `<stem>_g<short>` dir name on its first post-upgrade publish and
+    * never reclaim its old short-suffix orphans. This container's stores
+    * are session-scoped temp directories (rebuilt every JVM, never carried
+    * across code versions), so no such store can exist here; a deployment
+    * upgrading long-lived stores should set [[StemProp]] on them once
+    * (ALTER TABLE ... SET TBLPROPERTIES) as the migration step. */
   private[graft] val GenSuffixRe = "_g\\d{13,}"
   private[graft] def storeStem(dirName: String): String =
     dirName.replaceFirst(GenSuffixRe + "$", "")
+
+  /** Generation directory name for `stem`: `<stem>_g<19-digit suffix>`.
+    * Zero-padded to 19 digits so a generation name ALWAYS matches
+    * [[GenSuffixRe]] — nanoTime counts from an arbitrary origin (boot on
+    * Linux) and can be fewer than 13 digits on a freshly-started box, which
+    * would hide the new generation from the orphan sweep forever. The JLS
+    * also allows nanoTime to be NEGATIVE (arbitrary origin): a raw negative
+    * value would format as `_g-00…`, matching neither [[GenSuffixRe]] nor
+    * the orphan sweep — the exact failure the zero-padding exists to
+    * prevent (ADVICE r17 low) — so fold it into [0, Long.MaxValue) first.
+    * floorMod keeps the within-boot monotonic ORDER of suffixes except
+    * across the single wrap point, and nothing reads order from the name:
+    * liveness comes from the catalog, reclamation from set-difference. */
+  private[graft] def genDirName(stem: String, nano: Long): String =
+    f"${stem}_g${java.lang.Math.floorMod(nano, Long.MaxValue)}%019d"
 
   /** Writer-liveness horizon for [[recoverSwap]]'s lock check: a
     * `<stem>_swap.lock` whose mtime is younger than this is a LIVE publish
@@ -626,9 +648,18 @@ object TextOps {
     * Disambiguate via the swap lock: a FRESH lock (see [[swapLockFreshMs]])
     * means a live writer owns the swap — do not rename; wait briefly for
     * the writer's own rename to land instead. A stale or absent lock means
-    * a crash — complete the swap, and tolerate losing the rename to a
-    * concurrent recovery: whoever loses re-checks `tableExists`, and a live
-    * table is success regardless of which session's ALTER committed it. */
+    * a crash — complete the swap, tolerate losing the rename to a
+    * concurrent recovery (whoever loses re-checks `tableExists`, and a live
+    * table is success regardless of which session's ALTER committed it),
+    * and delete the stale lock so the next publish needs no manual cleanup.
+    *
+    * READ-LATENCY NOTE (VERDICT r17): the fresh-lock path can block the
+    * calling READ for up to [[swapRecoverWaitMs]] (10 s) while a live
+    * writer finishes its swap — the correct alternative to stealing the
+    * rename, but a tail-latency spike a latency-sensitive reader tuning
+    * these constants should know about. The window only opens when a read
+    * lands exactly inside a publish's milliseconds-long drop→rename
+    * critical section; steady-state reads never enter it. */
   private[graft] def recoverSwap(s: SparkSession, tbl: String): Unit =
     if (!s.catalog.tableExists(tbl) && s.catalog.tableExists(s"${tbl}_stage")) {
       val stageMeta = storeMeta(s)(
@@ -658,8 +689,128 @@ object TextOps {
             System.err.println(s"[graft] recoverSwap($tbl): rename lost a race " +
               s"but the swap committed (${e.getClass.getSimpleName})")
         }
+        // The stale lock itself is the crashed writer's last leftover
+        // (ADVICE r17 low): leaving it wedged every subsequent
+        // publishBucketed at Files.createFile until an operator deleted it
+        // by hand — the data recovered automatically but the store stayed
+        // unwritable. Having already ACTED on the "writer is dead"
+        // adjudication by renaming its stage, deleting the lock adds no new
+        // risk — but re-check staleness at the deletion instant: between
+        // our adjudication and now, a NEW publish could have started (after
+        // a concurrent recovery deleted the old lock first), and its FRESH
+        // lock must not be swept.
+        if (lock.exists() &&
+            System.currentTimeMillis() - lock.lastModified() >= swapLockFreshMs)
+          java.nio.file.Files.deleteIfExists(lock.toPath)
       }
     }
+
+  // --------------------------------------------------------------------
+  // Delta-proportional label publish (VERDICT r17 next #2). A cluster-label
+  // table is cluster MEMBERSHIP — at sf100 the sig tier's ~5M rows — and
+  // the stage-then-swap rewrote ALL of it on every maintenance run, so a 1%
+  // batch paid ~1.2× the bare clustering query just to publish (82.3 vs
+  // 67.9 s, PERF_NOTES r17 SigMaint). The fix is the lakehouse MERGE shape
+  // done at the file layer, the same pattern as the append+compact store
+  // tiers: each run appends only the CHANGED + FIRST-TIME labels into a
+  // sibling bucketed delta table `<tbl>_delta (key, canonical_id, seq)`,
+  // readers overlay the delta onto the base generation latest-run-wins, and
+  // once [[LabelFoldRuns]] runs have accreted the delta folds into a fresh
+  // base generation through the crash-safe [[publishBucketed]] and the
+  // delta is cleared. Per-run publish cost is now proportional to the
+  // DELTA (batch-touched components), not the corpus; the full rewrite
+  // still happens, but amortized 1/[[LabelFoldRuns]].
+  // --------------------------------------------------------------------
+
+  /** Fold cadence for [[publishLabelDelta]]: after this many delta appends
+    * the overlay folds into a fresh base generation. Bounds both the
+    * delta's size (the read-side broadcast) and its per-bucket file count
+    * — a delta append is one file per bucket per run, the [[compactStore]]
+    * accretion shape, and the fold IS its compaction. @volatile test seam:
+    * the crash-window specs (Round14/15/17Spec) set 1 to drive the
+    * stage-then-swap machinery through every maintenance run — the pre-r18
+    * behavior they were written against. */
+  @volatile private[graft] var LabelFoldRuns: Int = 8
+
+  /** Current labels of a delta-tier table: the base generation overlaid
+    * with any delta appends, LATEST RUN WINS per key. The overlay is
+    * designed to keep the steady read near the bare bucketed scan: within
+    * the delta a key appears at most once per run (runs append changed ∪
+    * first-time, which are disjoint and key-unique), so max_by(seq) is
+    * exchange-free over the bucketed delta, and the base side only passes
+    * through a BROADCAST anti-join against the (cadence-bounded) delta
+    * keys — no shuffle, no sort of the corpus-sized side. Ties cannot
+    * happen: seq is strictly increasing per append ([[publishLabelDelta]]
+    * derives it from the table's own max), and a crash-interrupted append
+    * re-drives under a FRESH seq, superseding its partial rows with
+    * identical values (the deterministic fixed point). */
+  private[graft] def readLabels(s: SparkSession, tbl: String, keyCol: String): DataFrame = {
+    val base = s.table(tbl).select(col(keyCol), col("canonical_id"))
+    if (!s.catalog.tableExists(s"${tbl}_delta")) base
+    else {
+      val latest = s.table(s"${tbl}_delta")
+        .groupBy(keyCol)
+        .agg(max_by(col("canonical_id"), col("seq")).as("canonical_id"))
+      base.join(broadcast(latest.select(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(latest.select(col(keyCol), col("canonical_id")))
+    }
+  }
+
+  /** Publish one maintenance run's label changes as a DELTA append, folding
+    * into the base at the [[LabelFoldRuns]] cadence. `delta` must hold
+    * exactly the keys whose canonical changed plus the first-time-labeled
+    * keys — key-unique, disjoint from unchanged rows (the
+    * [[graft.ops.Dedup.maintainSigClusterStore]] derivation).
+    *
+    * Crash windows, all of which leave a readable, convergent store:
+    *   - mid-append: partial per-bucket files carry this run's seq; the
+    *     re-driven run recomputes the SAME values (deterministic fixed
+    *     point) under a fresh higher seq, which supersedes them key-by-key;
+    *   - between fold's publish and the delta clear: the delta's rows now
+    *     duplicate the folded base VALUES, so latest-wins is a no-op and
+    *     the next append's seq still rises from the residue's max;
+    *   - mid-clear: same — every surviving residue row equals the base.
+    * Single-writer per store is the module-wide maintenance contract (one
+    * scheduler-owned process per store — the [[compactStore]] /
+    * [[publishBucketed]] requirement); the fold path additionally holds the
+    * swap lock inside [[publishBucketed]] itself. */
+  private[graft] def publishLabelDelta(s: SparkSession, tbl: String, keyCol: String,
+                                       defaultBuckets: Int, delta: DataFrame): Unit = {
+    val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val w = meta.bucketSpec.map(_.numBuckets).getOrElse(defaultBuckets)
+    val baseLoc = new java.io.File(new java.net.URI(meta.location.toString))
+    val stem = meta.properties.getOrElse(StemProp, storeStem(baseLoc.getName))
+    // `<stem>_delta` never matches [[GenSuffixRe]], so the generation
+    // orphan sweep can never reclaim a live delta.
+    val deltaLoc = new java.io.File(baseLoc.getParentFile, s"${stem}_delta")
+    val dt = s"${tbl}_delta"
+    val nextSeq = 1L + (if (!s.catalog.tableExists(dt)) 0L
+      else s.table(dt).agg(max(col("seq"))).head().toSeq.head match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      })
+    delta.withColumn("seq", lit(nextSeq))
+      .repartition(w, col(keyCol))
+      .write.bucketBy(w, keyCol).sortBy(keyCol)
+      .option("path", deltaLoc.toString).mode("append").saveAsTable(dt)
+    // Empty appends (a no-change replay) do not advance the fold counter —
+    // `runs` counts seqs with actual rows. Cadence ≤ 1 folds UNCONDITIONALLY,
+    // reproducing the pre-r18 publish-every-run semantics exactly (the old
+    // path rewrote the table even for a fixed-point replay) — that is what
+    // the crash-window specs pin through the seam.
+    val runs = s.table(dt).select("seq").distinct().count()
+    if (runs >= LabelFoldRuns || LabelFoldRuns <= 1) {
+      // Fold: the overlay becomes the next base generation via the
+      // crash-safe stage-then-swap, then the delta files retire. The stage
+      // write READS base + delta and writes a third location, so there is
+      // no self-read hazard; the superseded base generation is deleted only
+      // after the swap commits (publishBucketed's contract).
+      publishBucketed(s, tbl, keyCol, defaultBuckets, readLabels(s, tbl, keyCol))
+      Option(deltaLoc.listFiles()).foreach(_.filter(_.isFile).foreach(f =>
+        java.nio.file.Files.deleteIfExists(f.toPath)))
+      s.catalog.refreshTable(dt)
+    }
+  }
 
   /** Registered day-N maintenance WITH compaction: day 1 writes the store
     * from quarter 0 of the corpus, days 2-4 [[appendNovel]] quarters 1-3
@@ -1172,6 +1323,48 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** [[dupNgrams]] with a DUPLICATED-GRAM PREFILTER on the join-back
+    * (VERDICT r17 next #4 candidate): most 8-grams are singletons
+    * (docfreq = 1), yet the docfreq join-back shuffles every
+    * (doc_id, gh) pair on gh regardless. This variant splits the two
+    * per-doc statistics:
+    *   - `n_grams` comes straight from a map-side-combined
+    *     `groupBy(doc_id)` over the pairs — the shuffle carries ~1 row
+    *     per (task, doc), not per gram;
+    *   - `dup_grams` counts only pairs whose gh is in the DUPLICATED
+    *     minority (`docfreq >= 2`), reached through a broadcast semi
+    *     join — a map-side filter, no pair shuffle on gh at all when
+    *     the duplicated-gram set fits a broadcast (the q_heavy_hitters
+    *     broadcast-candidate pattern).
+    * The freq aggregate itself (distinct gh → map-side-combined count)
+    * is unchanged — it is the irreducible floor. Same results by
+    * construction (DupNgramsProbe checksum-compares); registered only if
+    * the sf100 probe shows the join-back actually dominates — recorded
+    * either way per the verdict's done-criterion. */
+  private[graft] val dupNgramsPrefilter: Q = (s, d) => {
+    val n = 8
+    val toks = tokens(col("text"))
+    val pairs = Tables(s, d, "documents")
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("g"))
+      .select(col("doc_id"), Dedup.portableHash(col("g")).as("gh"))
+      .distinct()
+      .localCheckpoint()
+    val dupSet = pairs.groupBy("gh").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") >= 2).select("gh")
+    val perDoc = pairs.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = pairs.join(broadcast(dupSet), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
       .withColumn("dup_frac",
         round(col("dup_grams").cast("double") / col("n_grams"), 4))
       .orderBy("doc_id")

@@ -280,9 +280,12 @@ object Streams {
     * rewritten, probe-side partition pruning unaffected. Zero streaming
     * state — the store is the state; a replayed micro-batch appends its
     * rows twice (at-least-once at the file layer; dedup-by-vec_id is the
-    * exact-dedup store's job upstream, or a lakehouse MERGE's here).
-    * Centroid retraining remains a batch rebuild ([[graft.ops.Similarity
-    * .ivfKmeans]]); alternating cheap streaming appends with occasional
+    * exact-dedup store's job upstream, or a lakehouse MERGE's here —
+    * [[graft.ops.Similarity.ivfCompactCells]] retires the duplicates on
+    * the maintenance cadence and bounds the per-cell file accretion each
+    * micro-batch adds one file to). Centroid retraining remains a batch
+    * rebuild ([[graft.ops.Similarity.ivfKmeans]]); alternating cheap
+    * streaming appends with periodic cell compaction and occasional
     * retrains is the standard IVF serving loop. */
   def ivfIngest(vecs: DataFrame, cent: DataFrame, dir: String,
                 checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {

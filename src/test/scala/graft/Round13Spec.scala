@@ -79,8 +79,12 @@ class Round13Spec extends AnyFunSuite {
     12L -> vec(P3, (T, 0f), 0.001f), 13L -> vec(P3, (T, 0f), -0.001f),
     14L -> vec(P5, (T, 0f), 0f))
 
+  // The label READ PATH since r18 is the delta-overlay view (base
+  // generation + latest-wins delta appends) — what the registered query
+  // serves; maintenance only folds the base every LabelFoldRuns runs.
   private def labelsOf(tbl: String): Map[Long, Long] =
-    spark.table(tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ops.TextOps.readLabels(spark, tbl, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def fromScratch(union: DataFrame, threshold: Double): Map[Long, Long] =
     ops.Dedup.connectedComponentsAuto(
@@ -117,7 +121,7 @@ class Round13Spec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
       assert(bandRows.size == bandRows.distinct.size, "replay must not duplicate band rows")
     } finally {
-      Seq("_ebands", "_evecs", "_elabels").foreach(sfx =>
+      Seq("_ebands", "_evecs", "_elabels", "_elabels_delta").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
@@ -211,7 +215,7 @@ class Round13Spec extends AnyFunSuite {
         .collect().toSeq
       val labelsBefore = labelsOf(s"${base}_elabels")
       var compactedAny = false
-      for (sfx <- Seq("_ebands", "_evecs", "_elabels")) {
+      for (sfx <- Seq("_ebands", "_evecs", "_elabels", "_elabels_delta")) {
         val multi = bucketFiles(s"$base$sfx").exists(_._2.size > 1)
         val n = ops.TextOps.compactStore(spark, s"$base$sfx")
         if (multi) { assert(n > 0); compactedAny = true }
@@ -222,7 +226,7 @@ class Round13Spec extends AnyFunSuite {
         .collect().toSeq == before)
       assert(labelsOf(s"${base}_elabels") == labelsBefore)
     } finally {
-      Seq("_ebands", "_evecs", "_elabels").foreach(sfx =>
+      Seq("_ebands", "_evecs", "_elabels", "_elabels_delta").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
@@ -377,7 +381,7 @@ class Round13Spec extends AnyFunSuite {
         }
       } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     } finally {
-      Seq("_ebands", "_evecs", "_elabels").foreach(sfx =>
+      Seq("_ebands", "_evecs", "_elabels", "_elabels_delta").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }

@@ -31,7 +31,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *     VERDICT r13 weak #1) and the map-typed q_map_agg rendering
   *     (VERDICT r13 next #6).
   */
-class Round14Spec extends AnyFunSuite {
+class Round14Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // These suites exercise the label PUBLISH machinery (stage-then-swap crash
+  // windows, locks, generations) through the maintenance entry points. Since
+  // r18 the per-run publish is a delta APPEND that only folds through the
+  // stage-then-swap every [[ops.TextOps.LabelFoldRuns]] runs — cadence 1
+  // reproduces the fold-every-run behavior these scenarios were written
+  // against. Round18Spec covers the delta path at the production cadence.
+  private val savedFoldRuns = ops.TextOps.LabelFoldRuns
+  override protected def beforeAll(): Unit = { ops.TextOps.LabelFoldRuns = 1 }
+  override protected def afterAll(): Unit = { ops.TextOps.LabelFoldRuns = savedFoldRuns }
+
   private lazy val spark = TestSpark.spark
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -72,7 +82,7 @@ class Round14Spec extends AnyFunSuite {
     spark.table(tbl).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def dropEmbedTables(base: String): Unit =
-    Seq("_ebands", "_evecs", "_elabels", "_elabels_stage").foreach(sfx =>
+    Seq("_ebands", "_evecs", "_elabels", "_elabels_stage", "_elabels_delta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   private def dropLastCommit(ckpt: String): Unit = {
@@ -370,7 +380,7 @@ class Round14Spec extends AnyFunSuite {
     5L -> 5L, 11L -> 5L, 12L -> 12L, 13L -> 12L)
 
   private def dropSigTables(base: String): Unit =
-    Seq("_bands", "_toks", "_labels", "_labels_stage").foreach(sfx =>
+    Seq("_bands", "_toks", "_labels", "_labels_stage", "_labels_delta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   test("sig cluster maintenance: cross-day merge, first-edge store singleton, new cluster — labels equal from-scratch") {

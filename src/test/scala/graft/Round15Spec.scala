@@ -23,7 +23,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *     filename after ~10 runs), and superseded/orphaned generations are
   *     reclaimed (ADVICE r14 low) instead of leaking forever.
   */
-class Round15Spec extends AnyFunSuite {
+class Round15Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // These suites exercise the label PUBLISH machinery (stage-then-swap crash
+  // windows, locks, generations) through the maintenance entry points. Since
+  // r18 the per-run publish is a delta APPEND that only folds through the
+  // stage-then-swap every [[ops.TextOps.LabelFoldRuns]] runs — cadence 1
+  // reproduces the fold-every-run behavior these scenarios were written
+  // against. Round18Spec covers the delta path at the production cadence.
+  private val savedFoldRuns = ops.TextOps.LabelFoldRuns
+  override protected def beforeAll(): Unit = { ops.TextOps.LabelFoldRuns = 1 }
+  override protected def afterAll(): Unit = { ops.TextOps.LabelFoldRuns = savedFoldRuns }
+
   private lazy val spark = TestSpark.spark
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
   private val sf = "/root/testdata/sf0.001"
@@ -46,7 +56,7 @@ class Round15Spec extends AnyFunSuite {
     5L -> 5L, 11L -> 5L, 12L -> 12L, 13L -> 12L)
 
   private def dropSigTables(base: String): Unit =
-    Seq("_bands", "_toks", "_labels", "_labels_stage").foreach(sfx =>
+    Seq("_bands", "_toks", "_labels", "_labels_stage", "_labels_delta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   // ---- embed-tier planted fixture (the Round14Spec geometry) -----------
@@ -76,7 +86,7 @@ class Round15Spec extends AnyFunSuite {
     14L -> vec(P5, (T, 0f), 0f))
 
   private def dropEmbedTables(base: String): Unit =
-    Seq("_ebands", "_evecs", "_elabels", "_elabels_stage").foreach(sfx =>
+    Seq("_ebands", "_evecs", "_elabels", "_elabels_stage", "_elabels_delta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   // ------------------------------------------------------------------
@@ -238,8 +248,10 @@ class Round15Spec extends AnyFunSuite {
     try {
       ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
       for (_ <- 1 to 3) ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      // "labels_g…" generations only: the sibling `labels_delta` dir is the
+      // (legitimate, non-generation) r18 delta table's home.
       def labelDirs() = new java.io.File(dir.toString).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("labels")).map(_.getName).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("labels_g")).map(_.getName).toSeq
       val live = new java.io.File(new java.net.URI(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .sessionState.catalog.getTableMetadata(

@@ -33,7 +33,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *     a user named `labels_g2` is not collapsed onto a sibling store's
   *     stem (whose orphan sweep would then reclaim its live generation).
   */
-class Round17Spec extends AnyFunSuite {
+class Round17Spec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+  // These suites exercise the label PUBLISH machinery (stage-then-swap crash
+  // windows, locks, generations) through the maintenance entry points. Since
+  // r18 the per-run publish is a delta APPEND that only folds through the
+  // stage-then-swap every [[ops.TextOps.LabelFoldRuns]] runs — cadence 1
+  // reproduces the fold-every-run behavior these scenarios were written
+  // against. Round18Spec covers the delta path at the production cadence.
+  private val savedFoldRuns = ops.TextOps.LabelFoldRuns
+  override protected def beforeAll(): Unit = { ops.TextOps.LabelFoldRuns = 1 }
+  override protected def afterAll(): Unit = { ops.TextOps.LabelFoldRuns = savedFoldRuns }
+
   private lazy val spark = TestSpark.spark
   private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
@@ -58,7 +68,7 @@ class Round17Spec extends AnyFunSuite {
     Map(14L -> 14L, 20L -> 14L, 21L -> 21L, 22L -> 21L)
 
   private def dropSigTables(base: String): Unit =
-    Seq("_bands", "_toks", "_labels", "_labels_stage").foreach(sfx =>
+    Seq("_bands", "_toks", "_labels", "_labels_stage", "_labels_delta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   // ---- embed-tier planted fixture (the Round14/15Spec geometry) --------
@@ -91,7 +101,7 @@ class Round17Spec extends AnyFunSuite {
     21L -> vec(P6, (0f, T), 0f))
 
   private def dropEmbedTables(base: String): Unit =
-    Seq("_ebands", "_evecs", "_elabels", "_elabels_stage").foreach(sfx =>
+    Seq("_ebands", "_evecs", "_elabels", "_elabels_stage", "_elabels_delta").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   /** Crash a sig-label publish between drop and rename, leaving the
