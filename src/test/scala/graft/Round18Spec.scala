@@ -248,6 +248,39 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("the overlay read is shuffle-free: bucketed base scan + broadcast anti-join, no exchange on either side") {
+    // The design claim readLabels' scaladoc makes — the base side only
+    // passes through a BROADCAST anti-join and the delta's max_by rides
+    // the bucket distribution — pinned on the physical tree (the PlanSpec
+    // convention: walk the plan, don't regex explain text). AQE off so the
+    // executed plan is collectible (the PlanSpec `physical` rationale).
+    val base = s"graft_r18_plan_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r18_plan_")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(spark.table(s"${base}_labels_delta").count() > 0, "fixture: non-empty delta")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = ops.TextOps.readLabels(spark, s"${base}_labels", "doc_id")
+        .queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"the overlay must not shuffle the corpus-sized base OR the delta: $shuffles")
+      val anti = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }
+      assert(anti.nonEmpty, "the base side must pass through a broadcast ANTI join")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   // ------------------------------------------------------------------
   // 2. Band tables ride the compaction cadence.
   // ------------------------------------------------------------------
