@@ -36,6 +36,13 @@ object EmbedMaintProbe {
     TimeProbe.time("steady-state label read") {
       Bench.forceEval(ops.TextOps.readLabels(spark, "graft_emp_elabels", "vec_id"))
     }
+    // See SigMaintProbe: warm re-read + guard-regime evidence (r19).
+    TimeProbe.time("steady-state label read (warm)") {
+      Bench.forceEval(ops.TextOps.readLabels(spark, "graft_emp_elabels", "vec_id"))
+    }
+    println(s"[probe] delta stats bytes: " + spark.table("graft_emp_elabels_delta")
+      .queryExecution.optimizedPlan.stats.sizeInBytes +
+      s" (ceiling ${ops.TextOps.LabelDeltaMaxBytes})")
     spark.stop()
   }
 }

@@ -36,6 +36,15 @@ object SigMaintProbe {
     TimeProbe.time("steady-state label read") {
       Bench.forceEval(ops.TextOps.readLabels(spark, "graft_smp_labels", "doc_id"))
     }
+    // Separate cold-cache effects from the overlay's intrinsic cost, and
+    // prove which guard regime served the read (r19: the broadcast hint is
+    // size-gated on the delta's stats bytes).
+    TimeProbe.time("steady-state label read (warm)") {
+      Bench.forceEval(ops.TextOps.readLabels(spark, "graft_smp_labels", "doc_id"))
+    }
+    println(s"[probe] delta stats bytes: " + spark.table("graft_smp_labels_delta")
+      .queryExecution.optimizedPlan.stats.sizeInBytes +
+      s" (ceiling ${ops.TextOps.LabelDeltaMaxBytes})")
     spark.stop()
   }
 }

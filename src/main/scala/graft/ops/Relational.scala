@@ -124,7 +124,7 @@ object Relational {
     val li = Tables(s, d, "lineitem").select("l_partkey", "l_quantity")
     val pt = Tables(s, d, "part")
       .filter(col("p_size") < 25).select("p_partkey", "p_brand")
-    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"), "inner")
+    li.join(Hints.dimBroadcast(pt), col("l_partkey") === col("p_partkey"), "inner")
       .groupBy("p_brand")
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
       .orderBy("p_brand")
@@ -140,7 +140,7 @@ object Relational {
     val nat = Tables(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
     val reg = Tables(s, d, "region").select("r_regionkey", "r_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")

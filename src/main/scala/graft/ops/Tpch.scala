@@ -35,7 +35,7 @@ object Tpch {
       .filter(col("l_shipdate") > ts("1998-06-01"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -58,8 +58,8 @@ object Tpch {
     val li = Tables(s, d, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -80,7 +80,7 @@ object Tpch {
       .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     val nation = Tables(s, d, "nation").select("n_nationkey", "n_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -172,7 +172,7 @@ object Tpch {
     val avgq = li.groupBy("l_partkey")
       .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
       .withColumnRenamed("l_partkey", "a_partkey")
-    li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+    li.join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
       .join(avgq, col("l_partkey") === col("a_partkey"))
       .filter(col("qty") * lit(5L) * col("cnt") < col("sum_qty"))
       .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
@@ -194,7 +194,7 @@ object Tpch {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val cust = Tables(s, d, "customer").select("c_custkey", "c_name")
     big.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
         "o_totalprice", "sum_qty")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -226,8 +226,8 @@ object Tpch {
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
         || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -278,7 +278,7 @@ object Tpch {
       .filter(col("l_shipdate") >= ts("1997-06-01") && col("l_shipdate") < ts("1997-09-01"))
       .select("l_partkey", "l_extendedprice", "l_discount")
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+    li.join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
       .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_revenue"),
         round(sum(rev), 2).as("total_revenue"))
       .select(col("promo_revenue"), col("total_revenue"),
@@ -298,7 +298,7 @@ object Tpch {
     val band = (brand: String, qlo: Double, qhi: Double, smax: Int) =>
       col("p_brand") === brand && col("l_quantity") >= qlo && col("l_quantity") <= qhi &&
         col("p_size") >= 1 && col("p_size") <= smax
-    li.join(broadcast(pa), col("l_partkey") === col("p_partkey") &&
+    li.join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey") &&
         (band("Brand#1", 1, 11, 5) || band("Brand#2", 10, 20, 10) || band("Brand#3", 20, 30, 15)))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -360,7 +360,7 @@ object Tpch {
     val mx = rev.agg(max(col("total_revenue")).as("mx"))
     val supp = Tables(s, d, "supplier").select("s_suppkey", "s_name")
     rev.join(broadcast(mx), col("total_revenue") === col("mx"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
   }
@@ -379,8 +379,8 @@ object Tpch {
       .filter(col("p_brand") =!= "Brand#1")
       .select("p_partkey", "p_brand", "p_type", "p_size")
     Tables(s, d, "lineitem").select("l_partkey", "l_suppkey")
-      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(Hints.dimBroadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -459,8 +459,8 @@ object Tpch {
       .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
     val nat = Tables(s, d, "nation").select("n_nationkey", "n_name")
     val edges = Tables(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
-      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
     val best = edges.groupBy(col("p_partkey").as("b_partkey"))
       .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("b"))
       .select(col("b_partkey"), col("b.s_suppkey").as("b_supp"))
@@ -497,10 +497,10 @@ object Tpch {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables(s, d, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))), 2).as("nation_rev"),
         round(sum(rev), 2).as("total_rev"))
@@ -529,9 +529,9 @@ object Tpch {
     Tables(s, d, "lineitem")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
-      .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+      .join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(amount), 2).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
@@ -574,7 +574,7 @@ object Tpch {
       .filter(col("p_name").contains("bolt")).select("p_partkey")
     val vol = Tables(s, d, "lineitem")
       .select("l_partkey", "l_suppkey", "l_quantity")
-      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+      .join(Hints.dimBroadcast(bolts), col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
       .filter(col("sum_qty") > 90L)
@@ -611,7 +611,7 @@ object Tpch {
     val supp = Tables(s, d, "supplier").select("s_suppkey", "s_name")
     perOrder.select(col("late_supps").getItem(0).as("culprit"))
       .groupBy("culprit").agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supp), col("culprit") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(supp), col("culprit") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(25)

@@ -8,14 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *  1. The label-overlay broadcast is SIZE-GUARDED (VERDICT r18 next #1,
   *     the round's top item): [[ops.TextOps.readLabels]] hints
-  *     `broadcast()` on the delta key set only while the delta's row count
-  *     is at or under [[ops.TextOps.LabelDeltaMaxRows]]; above it the
-  *     anti-join falls back to a plain join — and because base and delta
-  *     are bucketed on the key at the SAME width, the fallback is a
-  *     zero-exchange sort-merge anti join, never a corpus shuffle. Both
-  *     plan regimes are pinned on the physical tree, and the overlay view
-  *     stays at the from-scratch fixed point in both.
-  *  2. The fold triggers EARLY on delta cardinality (VERDICT r18 next #4):
+  *     `broadcast()` on the delta key set only while the delta's Catalyst
+  *     size estimate fits [[ops.TextOps.LabelDeltaMaxBytes]] (a driver-side
+  *     stats read, no job on the read path); above it the anti-join falls
+  *     back to a plain join — and because base and delta are bucketed on
+  *     the key at the SAME width, the fallback is a zero-exchange
+  *     sort-merge anti join, never a corpus shuffle. Both plan regimes are
+  *     pinned on the physical tree, and the overlay view stays at the
+  *     from-scratch fixed point in both.
+  *  2. The fold triggers EARLY on delta size (VERDICT r18 next #4):
   *     one oversized batch folds into the base in the same
   *     [[ops.TextOps.publishLabelDelta]] call, so registered-path stores
   *     never serve an over-ceiling overlay in steady state.
@@ -80,7 +81,8 @@ class Round19Spec extends AnyFunSuite {
       ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
       ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
       assert(spark.table(s"${base}_labels_delta").count() > 0, "fixture: non-empty delta")
-      assert(spark.table(s"${base}_labels_delta").count() <= ops.TextOps.LabelDeltaMaxRows,
+      assert(spark.table(s"${base}_labels_delta").queryExecution
+          .optimizedPlan.stats.sizeInBytes <= BigInt(ops.TextOps.LabelDeltaMaxBytes),
         "fixture: the delta must be under the production ceiling")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val plan = overlayPlan(s"${base}_labels")
@@ -103,7 +105,7 @@ class Round19Spec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_r19_smj_")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val savedCeil = ops.TextOps.LabelDeltaMaxRows
+    val savedCeil = ops.TextOps.LabelDeltaMaxBytes
     val savedFold = ops.TextOps.LabelFoldRuns
     try {
       ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
@@ -112,7 +114,7 @@ class Round19Spec extends AnyFunSuite {
       // Simulate a 100-TB-scale delta: over the ceiling (so readLabels must
       // not hint), and too big for the planner to auto-broadcast (threshold
       // off — at real scale the delta's stats do this by themselves).
-      ops.TextOps.LabelDeltaMaxRows = 0L
+      ops.TextOps.LabelDeltaMaxBytes = 0L
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = overlayPlan(s"${base}_labels")
@@ -133,7 +135,7 @@ class Round19Spec extends AnyFunSuite {
       assert(viewOf(s"${base}_labels") == sigDay1Want,
         "the fallback regime serves the same fixed point")
     } finally {
-      ops.TextOps.LabelDeltaMaxRows = savedCeil
+      ops.TextOps.LabelDeltaMaxBytes = savedCeil
       ops.TextOps.LabelFoldRuns = savedFold
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
@@ -149,13 +151,13 @@ class Round19Spec extends AnyFunSuite {
   test("an over-ceiling batch folds into the base in the same publish call, whatever the run count") {
     val base = s"graft_r19_fold_${ctr.incrementAndGet()}"
     val dir = java.nio.file.Files.createTempDirectory("graft_r19_fold_")
-    val savedCeil = ops.TextOps.LabelDeltaMaxRows
+    val savedCeil = ops.TextOps.LabelDeltaMaxBytes
     try {
       assert(ops.TextOps.LabelFoldRuns > 2, "fixture: production cadence")
       ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
-      // Day-1's delta (changed ∪ first-time labels) is 5 rows — over a
-      // ceiling of 2, far under the run cadence of 8.
-      ops.TextOps.LabelDeltaMaxRows = 2L
+      // Day-1's delta (changed ∪ first-time labels) is 5 rows of parquet —
+      // over a 1-byte ceiling, far under the run cadence of 8.
+      ops.TextOps.LabelDeltaMaxBytes = 1L
       ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
       assert(baseOf(s"${base}_labels") == sigDay1Want,
         "the oversized batch must fold into a fresh base generation immediately")
@@ -163,7 +165,7 @@ class Round19Spec extends AnyFunSuite {
         "the early fold clears the delta like a cadence fold")
       assert(viewOf(s"${base}_labels") == sigDay1Want)
     } finally {
-      ops.TextOps.LabelDeltaMaxRows = savedCeil
+      ops.TextOps.LabelDeltaMaxBytes = savedCeil
       dropSigTables(base)
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
@@ -221,7 +223,35 @@ class Round19Spec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
-  // 4. StoreFs seam contracts.
+  // 4. The dimension-broadcast guard (VERDICT r18 next #6).
+  // ------------------------------------------------------------------
+
+  test("dimBroadcast above the ceiling stops forcing SF-proportional dims; fixed dims keep their hint") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedCeil = ops.Hints.DimBroadcastMaxBytes
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // Simulate the 100-TB regime where nothing auto-broadcasts either.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ops.Hints.DimBroadcastMaxBytes = 0L
+      val p = SparkEntry.queries("q_join_multiway")(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("SortMergeJoin"),
+        s"the customer edge must stop forcing a broadcast above the ceiling: $p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"nation/region are schema-bounded and must keep their plain hint: $p")
+      // Below the ceiling (the default), PlanSpec pins the all-broadcast
+      // plan — together the two regimes pin the guard's cutover.
+    } finally {
+      ops.Hints.DimBroadcastMaxBytes = savedCeil
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // 5. StoreFs seam contracts.
   // ------------------------------------------------------------------
 
   test("StoreFs: atomic lock create-no-overwrite, mtime-on-missing is 0, quiet recursive delete") {
