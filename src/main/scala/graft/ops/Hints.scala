@@ -44,8 +44,39 @@ object Hints {
 
   /** `broadcast(df)` while the optimizer's size estimate fits
     * [[DimBroadcastMaxBytes]]; `df` unhinted otherwise. */
-  def dimBroadcast(df: DataFrame): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(DimBroadcastMaxBytes))
+  def dimBroadcast(df: DataFrame): DataFrame = dimBroadcast(df, df)
+
+  /** [[dimBroadcast]] for a DERIVED dim — a base dimension pre-shrunk by
+    * joining bounded enum dims (supplier⋈nation, customer⋈nation⋈region)
+    * or pre-aggregated per key (the streaming as-of history): gate on
+    * `sizedBy`, the BASE scan, instead of `df` itself. Without CBO column
+    * stats Catalyst estimates an inner join's size as the PRODUCT of its
+    * children's byte sizes (ADVICE r19 medium: supplier-bytes ×
+    * nation-bytes is GBs at sf1), so gating on the joined frame silently
+    * drops the hint at scales far below the real 256 MB intent — the exact
+    * mis-fire [[dimBroadcast]]'s scaladoc disqualifies join/aggregate-
+    * derived frames for. Sound whenever `df`'s true size is bounded by
+    * `sizedBy`'s: a join on the enum dim's UNIQUE key can't raise the base
+    * side's cardinality, and a per-key aggregate of `sizedBy` can't exceed
+    * its bytes. */
+  def dimBroadcast(df: DataFrame, sizedBy: DataFrame): DataFrame =
+    if (sizedBy.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(DimBroadcastMaxBytes))
       broadcast(df)
     else df
+
+  /** Probe seam for the three AGGREGATE-DERIVED forced broadcasts (tpch2's
+    * per-part argmin, tpch20's qualifying-supplier set, the salted join's
+    * hot-key list — VERDICT r19 next #1). These sides are bounded by a
+    * DIMENSION's cardinality by construction, but plan-time stats cannot
+    * see that (the non-CBO estimator multiplies join children), so neither
+    * [[dimBroadcast]] gate applies. [[graft.AggHintProbe]] flips this seam
+    * to compare the forced hint against AQE's runtime shuffle→broadcast
+    * conversion from REAL sizes at sf0.1 and sf100; the adjudication lives
+    * in the PERF_NOTES r20 probe table and at each forcing site. */
+  @volatile private[graft] var AggBroadcastHints: Boolean = true
+
+  /** `broadcast(df)` under the default regime; `df` unhinted when the
+    * probe seam is off (then the planner/AQE decide from runtime sizes). */
+  def aggBroadcast(df: DataFrame): DataFrame =
+    if (AggBroadcastHints) broadcast(df) else df
 }

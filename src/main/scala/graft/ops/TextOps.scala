@@ -567,7 +567,16 @@ object TextOps {
       if (!StoreFs.deleteQuietly(fs, oldLoc) && fs.exists(oldLoc))
         System.err.println(s"[graft] publishBucketed($tbl): failed to delete " +
           s"superseded generation ${oldLoc.getName} — the next publish's orphan sweep retries it")
-    } finally StoreFs.deleteQuietly(fs, lock)
+    } finally {
+      // A failed unlock must not be silent (ADVICE r19 low): the NEXT
+      // publish would fail with the "hard-crash leftover" message,
+      // misdiagnosing a live-process I/O failure as a crash — mirror the
+      // superseded-generation message so the operator sees the real cause.
+      if (!StoreFs.deleteQuietly(fs, lock) && fs.exists(lock))
+        System.err.println(s"[graft] publishBucketed($tbl): failed to delete " +
+          s"swap lock ${lock.getName} — the next publish will refuse to start " +
+          "until it is removed (this was an unlock I/O failure, not a crash)")
+    }
   }
 
   /** Compaction cadence for the REGISTERED day-N maintenance paths

@@ -139,13 +139,17 @@ object Tpch {
     val li = Tables(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    // The hot-key list is aggregate-derived (≥6-lines-per-order keys): its
+    // true size is the skew tail, bounded by corpus/threshold — invisible
+    // to plan-time stats, hence [[Hints.aggBroadcast]] (probed r20: the
+    // seam lets [[graft.AggHintProbe]] measure AQE's unhinted plan).
     val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 6).select(col("l_orderkey").as("hk"))
-    val fact = li.join(broadcast(hot), col("l_orderkey") === col("hk"), "left")
+    val fact = li.join(Hints.aggBroadcast(hot), col("l_orderkey") === col("hk"), "left")
       .withColumn("salt", when(col("hk").isNotNull,
         pmod(hash(col("l_linenumber"), col("l_partkey")), lit(S))).otherwise(lit(0)))
       .drop("hk")
-    val dim = ord.join(broadcast(hot), col("o_orderkey") === col("hk"), "left")
+    val dim = ord.join(Hints.aggBroadcast(hot), col("o_orderkey") === col("hk"), "left")
       .withColumn("salt", explode(when(col("hk").isNotNull,
         sequence(lit(0), lit(S - 1))).otherwise(array(lit(0)))))
       .drop("hk")
@@ -215,10 +219,17 @@ object Tpch {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = Tables(s, d, "nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    // The guarded sides are JOIN-DERIVED (supplier⋈nation), so the gate
+    // reads the BASE scan's stats (ADVICE r19 medium: a joined frame's
+    // non-CBO estimate multiplies children and silently drops the hint at
+    // every realistic scale); nation's unique key bounds the joined
+    // cardinality by the base side's.
+    val suppBase = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val supp = suppBase
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .select("s_suppkey", "supp_nation")
-    val cust = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+    val custBase = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+    val cust = custBase
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .select("c_custkey", "cust_nation")
     val ord = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
@@ -226,8 +237,8 @@ object Tpch {
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(supp, suppBase), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(cust, custBase), col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
         || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -464,7 +475,7 @@ object Tpch {
     val best = edges.groupBy(col("p_partkey").as("b_partkey"))
       .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("b"))
       .select(col("b_partkey"), col("b.s_suppkey").as("b_supp"))
-    edges.join(broadcast(best), col("p_partkey") === col("b_partkey") && col("s_suppkey") === col("b_supp"))
+    edges.join(Hints.aggBroadcast(best), col("p_partkey") === col("b_partkey") && col("s_suppkey") === col("b_supp"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select("p_partkey", "p_name", "p_size", "s_suppkey", "s_name", "s_acctbal", "n_name")
       .orderBy(col("s_acctbal").desc, col("p_partkey"))
@@ -482,12 +493,16 @@ object Tpch {
     val natC = Tables(s, d, "nation")
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_nationkey").as("c_nk"))
-    val cust = Tables(s, d, "customer")
+    // Join-derived dims gate on their base scans (ADVICE r19 medium —
+    // see tpch7's note).
+    val custBase = Tables(s, d, "customer").select("c_custkey", "c_nationkey")
+    val cust = custBase
       .join(broadcast(natC), col("c_nationkey") === col("c_nk"))
       .select("c_custkey")
     val natS = Tables(s, d, "nation")
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val supp = Tables(s, d, "supplier")
+    val suppBase = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val supp = suppBase
       .join(broadcast(natS), col("s_nationkey") === col("s_nk"))
       .select("s_suppkey", "supp_nation")
     val pa = Tables(s, d, "part").filter(col("p_type") === "PROMO").select("p_partkey")
@@ -499,8 +514,8 @@ object Tpch {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(Hints.dimBroadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(cust, custBase), col("o_custkey") === col("c_custkey"))
+      .join(Hints.dimBroadcast(supp, suppBase), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0))), 2).as("nation_rev"),
         round(sum(rev), 2).as("total_rev"))
@@ -520,7 +535,10 @@ object Tpch {
       .filter(col("p_name").contains("bolt"))
       .select("p_partkey", "p_retailprice")
     val nat = Tables(s, d, "nation").select("n_nationkey", "n_name")
-    val supp = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    // Join-derived dim: gate on the base supplier scan (ADVICE r19 medium
+    // — see tpch7's note).
+    val suppBase = Tables(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val supp = suppBase
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name")
     val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderdate")
@@ -531,7 +549,7 @@ object Tpch {
         "l_extendedprice", "l_discount")
       .join(Hints.dimBroadcast(pa), col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(Hints.dimBroadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.dimBroadcast(supp, suppBase), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(round(sum(amount), 2).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
@@ -580,7 +598,7 @@ object Tpch {
       .filter(col("sum_qty") > 90L)
       .select("l_suppkey").distinct()
     Tables(s, d, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-      .join(broadcast(vol), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(Hints.aggBroadcast(vol), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .orderBy("s_suppkey")
   }
 

@@ -78,9 +78,14 @@ object Streams {
     * buffers. This is the scalable "enrich events with a dim table" shape:
     * the stream side never shuffles, and a dim refresh is picked up on the
     * next batch. Left join + coalesce keeps unmatched events flowing with
-    * an explicit sentinel instead of dropping them. */
+    * an explicit sentinel instead of dropping them. The dim hint is
+    * SIZE-GUARDED like every batch-surface dimension ([[graft.ops.Hints
+    * .dimBroadcast]], VERDICT r19 next #3 — batch/stream guard parity): a
+    * caller-supplied dim whose plan-stats estimate outgrows the ceiling
+    * gets NO hint, and the planner/AQE pick the join from real sizes
+    * instead of a forced per-batch broadcast of an SF-proportional side. */
   def enrichWithTier(events: DataFrame, userTiers: DataFrame): DataFrame =
-    events.join(broadcast(userTiers), Seq("user_id"), "left")
+    events.join(graft.ops.Hints.dimBroadcast(userTiers), Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         coalesce(col("tier"), lit("unknown")).as("tier"))
 
@@ -94,11 +99,18 @@ object Streams {
     * null when no prior row exists, exactly the batch as-of's left-outer
     * match rule. At stream scale the broadcast is bounded by #keys × mean
     * history length, not stream volume; for deep per-key histories swap the
-    * linear filter for a binary-search Expression — same plan otherwise. */
+    * linear filter for a binary-search Expression — same plan otherwise.
+    * The #keys × history contract is now ENFORCED, not just documented
+    * (VERDICT r19 next #3): the hint is size-guarded through
+    * [[graft.ops.Hints.dimBroadcast]], gated on the BASE signups scan (the
+    * aggregate can't exceed its input's bytes, and an aggregate frame's own
+    * non-CBO estimate is untrustworthy — the two-arg form's contract); an
+    * over-ceiling static side degrades to an unhinted join the planner/AQE
+    * shape from real sizes. */
   def asofEnrich(events: DataFrame, signups: DataFrame): DataFrame = {
     val dim = signups.groupBy(col("user_id"))
       .agg(array_sort(collect_list(col("ts"))).as("s_history"))
-    events.join(broadcast(dim), Seq("user_id"), "left")
+    events.join(graft.ops.Hints.dimBroadcast(dim, signups), Seq("user_id"), "left")
       .withColumn("signup_ts",
         try_element_at(filter(col("s_history"), x => x <= col("ts")), lit(-1)))
       .drop("s_history")

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-20: the VERDICT r19 worklist + ADVICE r19 fixes.
+  *
+  *  1. JOIN-DERIVED dims gate on their BASE scan (ADVICE r19 medium):
+  *     without CBO column stats, Catalyst estimates an inner join's size
+  *     as the PRODUCT of its children's bytes, so gating tpch7/8/9's
+  *     supplier⋈nation / customer⋈nation sides on the joined frame
+  *     silently dropped the forced broadcast at every realistic scale.
+  *     [[ops.Hints.dimBroadcast(df, sizedBy)]] gates on the base scan —
+  *     pinned by a ceiling BETWEEN the base estimate and the join-product
+  *     estimate: the hint must survive.
+  *  2. [[ops.Similarity.ivfCompactCells]] converges (ADVICE r19 medium):
+  *     a cell larger than maxFilesPerCell × targetFileBytes compacts ONCE
+  *     to its size-mandated width and is then left alone — the count-only
+  *     trigger re-read and rewrote such a cell on every maintenance run
+  *     forever.
+  *  3. Streaming/batch guard parity (VERDICT r19 next #3):
+  *     [[streaming.Streams.enrichWithTier]] / [[streaming.Streams.asofEnrich]]
+  *     route their caller dims through [[ops.Hints.dimBroadcast]] — above
+  *     the ceiling the static side stops forcing a per-batch broadcast
+  *     (asofEnrich gates on the base signups scan, since its dim is
+  *     aggregate-derived).
+  */
+class Round20Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  // ------------------------------------------------------------------
+  // 1. The base-scan gate for join-derived dims.
+  // ------------------------------------------------------------------
+
+  test("tpch7/9's joined dims keep their forced broadcast when only the base scan fits the ceiling") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedCeil = ops.Hints.DimBroadcastMaxBytes
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Ceiling strictly between the base supplier scan's estimate (a few
+      // KB at sf0.001) and the supplier⋈nation JOIN-PRODUCT estimate: the
+      // pre-fix joined-frame gate would read the product, overshoot, and
+      // drop the hint; the base-scan gate keeps it.
+      val suppBytes = Tables(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val natBytes = Tables(spark, sf, "nation")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val product = suppBytes * natBytes
+      assert(product > suppBytes * 4,
+        s"fixture: the join-product estimate must overshoot ($suppBytes × $natBytes)")
+      ops.Hints.DimBroadcastMaxBytes = (suppBytes * 4).toLong
+      for (q <- Seq("q_tpch7", "q_tpch9")) {
+        val p = fmt(SparkEntry.queries(q)(spark, sf))
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q: the supplier⋈nation side must keep its forced broadcast " +
+          s"when the BASE scan fits the ceiling: $p")
+      }
+    } finally {
+      ops.Hints.DimBroadcastMaxBytes = savedCeil
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("above the ceiling the joined dims degrade to unhinted joins like every guarded site") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedCeil = ops.Hints.DimBroadcastMaxBytes
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ops.Hints.DimBroadcastMaxBytes = 0L
+      val p = fmt(SparkEntry.queries("q_tpch9")(spark, sf))
+      assert(p.contains("SortMergeJoin"),
+        s"q_tpch9: the supplier edge must stop forcing a broadcast above the ceiling: $p")
+    } finally {
+      ops.Hints.DimBroadcastMaxBytes = savedCeil
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // 2. Compaction convergence.
+  // ------------------------------------------------------------------
+
+  test("ivfCompactCells converges: a cell above maxFilesPerCell × targetFileBytes reaches a fixed point") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_ivf_").toString
+    def v(seed: Int): Array[Float] = {
+      val a = new Array[Float](8); a(0) = 1f; a(1) = seed * 0.001f; a
+    }
+    val cent = Seq((0L, v(0))).toDF("cent_id", "cemb")
+    // Distinct rows in every append (no replays) so the convergence being
+    // tested is the TRIGGER's, not distinct()'s row-retirement.
+    ops.Similarity.ivfAssign((0 until 8).map(i => (i.toLong, v(i)))
+        .toDF("vec_id", "embedding"), cent)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    for (b <- 1 to 11)
+      ops.Similarity.ivfAppend(
+        (0 until 8).map(i => ((b * 100 + i).toLong, v(b * 100 + i))).toDF("vec_id", "embedding"),
+        cent, dir)
+    def files(): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell=")).head
+        .listFiles().filter(f => f.isFile && f.getName.startsWith("part-")).toSeq
+    // The fixture needs file count WELL above the size-mandated width
+    // (~4-5 at this target) so the first pass provably triggers.
+    assert(files().size >= 10, s"fixture: appends must accrete, got ${files().size}")
+    // Target small enough that the cell's size-mandated width exceeds
+    // maxFilesPerCell — the exact shape whose rewrite lands more than
+    // maxFilesPerCell files, which the pre-fix count-only trigger then
+    // recompacted on EVERY maintenance run forever.
+    val target = math.max(1L, files().map(_.length()).sum / 4)
+    assert(ops.Similarity.ivfCompactCells(spark, dir, maxFilesPerCell = 3,
+      targetFileBytes = target) == 1, "first pass compacts the accreted cell")
+    // The rewrite merges away per-file parquet overhead, which can lower
+    // the size-mandated width a step — convergence, not one-shot
+    // idempotence, is the invariant (the pre-fix trigger NEVER converged
+    // here: nOut > maxFilesPerCell on every pass).
+    var passes = 0
+    while (passes < 5 && ops.Similarity.ivfCompactCells(spark, dir,
+        maxFilesPerCell = 3, targetFileBytes = target) > 0)
+      passes += 1
+    assert(passes < 5, "compaction must reach a fixed point, not re-trigger forever")
+    val settled = files()
+    assert(ops.Similarity.ivfCompactCells(spark, dir, maxFilesPerCell = 3,
+      targetFileBytes = target) == 0, "the fixed point is stable")
+    assert(files().map(_.getName) == settled.map(_.getName),
+      "a converged cell's layout is untouched")
+    val bytes = settled.map(_.length()).sum
+    val cap = math.max(3L, (bytes + target - 1) / target)
+    assert(settled.size <= cap,
+      s"the settled layout honors the effective cap: ${settled.size} files vs cap $cap")
+    assert(spark.read.parquet(dir).select("vec_id").distinct().count() == 96,
+      "every distinct vector survives the multi-pass rewrite")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  // ------------------------------------------------------------------
+  // 3. Streaming guard parity.
+  // ------------------------------------------------------------------
+
+  test("enrichWithTier and asofEnrich stop forcing the dim broadcast above the ceiling") {
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedCeil = ops.Hints.DimBroadcastMaxBytes
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val events = (1 to 50).map(i =>
+          (i.toLong, new java.sql.Timestamp(i * 60000L), i.toLong % 7, "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val tiers = (0 to 6).map(i => (i.toLong, s"tier$i")).toDF("user_id", "tier")
+      val signups = (0 to 6).map(i =>
+          (i.toLong, new java.sql.Timestamp(i * 1000L))).toDF("user_id", "ts")
+
+      ops.Hints.DimBroadcastMaxBytes = 0L
+      val pe = fmt(streaming.Streams.enrichWithTier(events, tiers))
+      assert(!pe.contains("BroadcastHashJoin"),
+        s"enrichWithTier must not force a broadcast above the ceiling: $pe")
+      val pa = fmt(streaming.Streams.asofEnrich(events, signups))
+      assert(!pa.contains("BroadcastHashJoin"),
+        s"asofEnrich must not force a broadcast above the ceiling: $pa")
+
+      ops.Hints.DimBroadcastMaxBytes = savedCeil
+      assert(fmt(streaming.Streams.enrichWithTier(events, tiers))
+        .contains("BroadcastHashJoin"),
+        "below the ceiling the dim keeps its broadcast (the steady regime)")
+      assert(fmt(streaming.Streams.asofEnrich(events, signups))
+        .contains("BroadcastHashJoin"),
+        "below the ceiling the as-of history dim keeps its broadcast")
+
+      // Semantics are regime-independent: the guarded join returns the
+      // same rows either way.
+      ops.Hints.DimBroadcastMaxBytes = 0L
+      val unhinted = streaming.Streams.asofEnrich(events, signups)
+        .select("event_id", "signup_ts").collect().map(r => r.get(0) -> r.get(1)).toMap
+      ops.Hints.DimBroadcastMaxBytes = savedCeil
+      val hinted = streaming.Streams.asofEnrich(events, signups)
+        .select("event_id", "signup_ts").collect().map(r => r.get(0) -> r.get(1)).toMap
+      assert(unhinted == hinted, "both guard regimes agree on the as-of result")
+    } finally {
+      ops.Hints.DimBroadcastMaxBytes = savedCeil
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+}
