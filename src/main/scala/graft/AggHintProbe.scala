@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   * the FINAL adaptive plan's join inventory (BroadcastHashJoin vs
   * SortMergeJoin counts read off the executed plan after the run, i.e.
   * post-AQE-reoptimization, not the static guess).
+  *
+  * ADJUDICATED r20 (PERF_NOTES probe table, target/agghint_sf{01,100}.log):
+  * tpch2 and tpch20 dropped their hints — unhinted measured faster at both
+  * decades — so for those two the seam no longer wires anywhere and both
+  * regimes now measure the shipped unhinted plan; only
+  * [[ops.Tpch.saltedHotJoin]]'s hot-list hint (kept, with the measured
+  * reason at the site) still responds to the seam. The probe remains the
+  * instrument of record for re-running the A/B.
   */
 object AggHintProbe {
   private def joinMix(plan: String): String = {

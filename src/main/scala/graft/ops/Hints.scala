@@ -64,15 +64,21 @@ object Hints {
       broadcast(df)
     else df
 
-  /** Probe seam for the three AGGREGATE-DERIVED forced broadcasts (tpch2's
-    * per-part argmin, tpch20's qualifying-supplier set, the salted join's
-    * hot-key list — VERDICT r19 next #1). These sides are bounded by a
-    * DIMENSION's cardinality by construction, but plan-time stats cannot
-    * see that (the non-CBO estimator multiplies join children), so neither
-    * [[dimBroadcast]] gate applies. [[graft.AggHintProbe]] flips this seam
-    * to compare the forced hint against AQE's runtime shuffle→broadcast
-    * conversion from REAL sizes at sf0.1 and sf100; the adjudication lives
-    * in the PERF_NOTES r20 probe table and at each forcing site. */
+  /** Probe seam for AGGREGATE-DERIVED forced broadcasts (VERDICT r19 next
+    * #1): sides bounded by a dimension's (or the skew tail's) cardinality
+    * by construction, which plan-time stats cannot see (the non-CBO
+    * estimator multiplies join children), so neither [[dimBroadcast]] gate
+    * applies. [[graft.AggHintProbe]] flips this seam to compare the forced
+    * hint against AQE's unhinted runtime plan at sf0.1 and sf100.
+    * ADJUDICATED r20 (PERF_NOTES probe table): tpch2's per-part argmin and
+    * tpch20's qualifying-supplier set DROPPED their hints — unhinted
+    * measured faster at both decades (the "saved" shuffle was dim-sized,
+    * the forced driver materialization was the real cost) and is immune to
+    * driver OOM at any scale. The salted join's hot-key list KEEPS its
+    * hint — unhinted, AQE's conversion threshold misses at sf100 and the
+    * tag joins shuffle the whole fact on the skewed key itself (89.8 vs
+    * 79.4 s); its bound and the threshold-sizing contract are documented
+    * at the site ([[Tpch.saltedHotJoin]]). */
   @volatile private[graft] var AggBroadcastHints: Boolean = true
 
   /** `broadcast(df)` under the default regime; `df` unhinted when the

@@ -439,9 +439,33 @@ object TextOps {
     * cluster labels, sig cluster labels). */
   private[graft] object SwapHooks {
     @volatile var afterStageWrite: () => Unit = () => ()
+    @volatile var afterManifestPut: () => Unit = () => ()
     @volatile var afterDrop: () => Unit = () => ()
-    private[graft] def reset(): Unit = { afterStageWrite = () => (); afterDrop = () => () }
+    private[graft] def reset(): Unit = {
+      afterStageWrite = () => (); afterManifestPut = () => (); afterDrop = () => ()
+    }
   }
+
+  /** The generation MANIFEST (VERDICT r19 next #2): `<stem>.manifest` in
+    * the store's parent directory holds the live generation's directory
+    * name, and its single-object atomic replace ([[StoreFs.writeAtomic]])
+    * is the swap's COMMIT POINT. [[publishBucketed]] PUTs it as the last
+    * write of the new generation — after the staged data has fully
+    * committed, before the catalog drop→rename (which is thereby demoted
+    * from commit protocol to metadata republication + GC). Readers
+    * ([[recoverSwap]], run first thing by every registered read path and
+    * maintenance entry) treat a manifest that names a complete staged
+    * generation as authoritative and finish the catalog swap from it —
+    * so on object stores, where directory rename is non-atomic, the swap
+    * inherits the manifest PUT's atomicity instead (see [[StoreFs]]'s
+    * narrowed caveat). A store never yet published through
+    * [[publishBucketed]] has no manifest; readers then fall back to the
+    * catalog, and the first publish (or a legacy-window recovery) heals
+    * the manifest forward. Never matches [[GenSuffixRe]], so the orphan
+    * sweep cannot reclaim it. */
+  private[graft] def manifestPath(parent: org.apache.hadoop.fs.Path,
+                                  stem: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(parent, s"$stem.manifest")
 
   /** Crash-safe full rewrite of a bucketed store table (VERDICT r13 next
     * #2, generalized r14): drop-then-overwrite-same-path had a window where
@@ -490,6 +514,12 @@ object TextOps {
     * [[appendNovel]] convention). */
   private[graft] def publishBucketed(s: SparkSession, tbl: String, bucketCol: String,
                                      defaultBuckets: Int, df: DataFrame): Unit = {
+    // A prior writer may have crashed between its manifest PUT and its
+    // catalog swap — reconcile FIRST, so `meta` below reads the truly-live
+    // generation and the stale-stage reclamation only ever sees
+    // uncommitted garbage (a manifest-committed stage is the live data,
+    // not garbage).
+    recoverSwap(s, tbl)
     val meta = storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     val w = meta.bucketSpec.map(_.numBuckets).getOrElse(defaultBuckets)
     val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
@@ -549,6 +579,16 @@ object TextOps {
       // and a concurrent reader's recovery would adjudicate a LIVE publish
       // as a crash.
       StoreFs.touch(fs, lock)
+      // THE COMMIT POINT (VERDICT r19 next #2): one atomic single-object
+      // replace of `<stem>.manifest` with the staged generation's name —
+      // the last write of the new generation's data+commit sequence. From
+      // here the swap is durable on any store with atomic object PUTs
+      // (incl. S3); the catalog ops below republish it and collect
+      // garbage, and any crash between here and their completion is healed
+      // by [[recoverSwap]] from the manifest.
+      StoreFs.writeAtomic(fs, manifestPath(parent, stem),
+        new org.apache.hadoop.fs.Path(stageLoc).getName)
+      SwapHooks.afterManifestPut()
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       SwapHooks.afterDrop()
       try s.sql(s"ALTER TABLE ${tbl}_stage RENAME TO $tbl")
@@ -678,47 +718,99 @@ object TextOps {
     * lands exactly inside a publish's milliseconds-long drop→rename
     * critical section; steady-state reads never enter it. */
   private[graft] def recoverSwap(s: SparkSession, tbl: String): Unit =
-    if (!s.catalog.tableExists(tbl) && s.catalog.tableExists(s"${tbl}_stage")) {
+    if (s.catalog.tableExists(s"${tbl}_stage")) {
       val stageMeta = storeMeta(s)(
         org.apache.spark.sql.catalyst.TableIdentifier(s"${tbl}_stage"))
       val stageDir = new org.apache.hadoop.fs.Path(stageMeta.location)
       val stem = stageMeta.properties.getOrElse(StemProp, storeStem(stageDir.getName))
       val lock = new org.apache.hadoop.fs.Path(stageDir.getParent, s"${stem}_swap.lock")
       val fs = StoreFs.fs(s, lock)
-      // mtime is 0 when the lock vanished between exists and stat
-      // — that reads as stale, i.e. recover, which is right: no lock, no
-      // live writer.
-      if (System.currentTimeMillis() - StoreFs.mtime(fs, lock) < swapLockFreshMs) {
-        val deadline = System.nanoTime() + swapRecoverWaitMs * 1000000L
-        while (!s.catalog.tableExists(tbl) && System.nanoTime() < deadline)
-          Thread.sleep(50)
-        if (!s.catalog.tableExists(tbl))
-          System.err.println(s"[graft] recoverSwap($tbl): fresh ${lock.getName} " +
-            s"held and $tbl still absent after ${swapRecoverWaitMs}ms — a live " +
-            "publish appears mid-swap; NOT stealing its rename. If the writer " +
-            "is actually dead, delete the lock and rerun.")
-      } else {
-        try s.sql(s"ALTER TABLE ${tbl}_stage RENAME TO $tbl")
-        catch {
-          // Lost the rename to a concurrent recovery (or a writer we
-          // misjudged stale) — live table = the swap committed.
-          case e: Throwable if s.catalog.tableExists(tbl) =>
-            System.err.println(s"[graft] recoverSwap($tbl): rename lost a race " +
-              s"but the swap committed (${e.getClass.getSimpleName})")
+      // MANIFEST-COMMITTED stage (VERDICT r19 next #2): the writer's
+      // atomic `<stem>.manifest` PUT named this staged generation as live
+      // before it crashed — whether or not the catalog drop happened yet.
+      // A short/garbled read (the documented HDFS create-overwrite sliver)
+      // simply fails the name match and reads as "not committed".
+      val committed = StoreFs.readSmall(fs, manifestPath(stageDir.getParent, stem))
+        .map(_.trim).contains(stageDir.getName) && fs.exists(stageDir)
+      val liveExists = s.catalog.tableExists(tbl)
+      // Reconcile when the catalog lags the commit point: either the live
+      // name is gone (the classic drop→rename window — recover regardless
+      // of manifest, preserving pre-manifest semantics: the complete stage
+      // is the only candidate copy), or the live name still points at the
+      // generation the manifest has superseded. A live table plus an
+      // UNcommitted stage is a mid-publish (or abandoned) stage — never
+      // steal it.
+      if (!liveExists || committed) {
+        // mtime is 0 when the lock vanished between exists and stat
+        // — that reads as stale, i.e. recover, which is right: no lock, no
+        // live writer.
+        if (System.currentTimeMillis() - StoreFs.mtime(fs, lock) < swapLockFreshMs) {
+          // A LIVE writer owns the swap. If the live table still serves
+          // (manifest→drop window) there is nothing to wait for — the old
+          // generation is complete and consistent; only the neither-table
+          // window blocks the read.
+          if (!liveExists) {
+            val deadline = System.nanoTime() + swapRecoverWaitMs * 1000000L
+            while (!s.catalog.tableExists(tbl) && System.nanoTime() < deadline)
+              Thread.sleep(50)
+            if (!s.catalog.tableExists(tbl))
+              System.err.println(s"[graft] recoverSwap($tbl): fresh ${lock.getName} " +
+                s"held and $tbl still absent after ${swapRecoverWaitMs}ms — a live " +
+                "publish appears mid-swap; NOT stealing its rename. If the writer " +
+                "is actually dead, delete the lock and rerun.")
+          }
+        } else {
+          // The crashed writer's undone catalog drop (manifest→drop
+          // window): the manifest committed the staged generation, so the
+          // stale live name must yield to it. Capture its location first —
+          // the superseded generation's directory is deleted below, NOT
+          // left to the orphan sweep: a day-0 build directory carries no
+          // `_g` suffix, so the sweep's generation regex can never see it.
+          val superseded = if (liveExists) Some(new org.apache.hadoop.fs.Path(
+            storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location))
+          else None
+          if (liveExists) s.sql(s"DROP TABLE IF EXISTS $tbl")
+          try s.sql(s"ALTER TABLE ${tbl}_stage RENAME TO $tbl")
+          catch {
+            // Lost the rename to a concurrent recovery (or a writer we
+            // misjudged stale) — live table = the swap committed.
+            case e: Throwable if s.catalog.tableExists(tbl) =>
+              System.err.println(s"[graft] recoverSwap($tbl): rename lost a race " +
+                s"but the swap committed (${e.getClass.getSimpleName})")
+          }
+          // Heal the manifest forward for a legacy (pre-manifest) store
+          // recovered through the classic window, so every later read can
+          // resolve the live generation without the catalog.
+          if (!committed && s.catalog.tableExists(tbl))
+            StoreFs.writeAtomic(fs, manifestPath(stageDir.getParent, stem),
+              new org.apache.hadoop.fs.Path(storeMeta(s)(
+                org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location).getName)
+          // Retire the superseded generation once the rename committed —
+          // the crashed publish never reached its own delete ([[
+          // publishBucketed]]'s post-swap step); a failure here is garbage
+          // the next publish's sweep retries, except the suffix-less day-0
+          // directory, which only this path can reclaim.
+          superseded.filter(p => s.catalog.tableExists(tbl) &&
+              fs.makeQualified(p) != fs.makeQualified(stageDir))
+            .foreach { p =>
+              if (!StoreFs.deleteQuietly(fs, p) && fs.exists(p))
+                System.err.println(s"[graft] recoverSwap($tbl): failed to delete " +
+                  s"superseded generation ${p.getName}")
+            }
+          // The stale lock itself is the crashed writer's last leftover
+          // (ADVICE r17 low): leaving it wedged every subsequent
+          // publishBucketed at Files.createFile until an operator deleted it
+          // by hand — the data recovered automatically but the store stayed
+          // unwritable. Having already ACTED on the "writer is dead"
+          // adjudication by renaming its stage, deleting the lock adds no new
+          // risk — but re-check staleness at the deletion instant: between
+          // our adjudication and now, a NEW publish could have started (after
+          // a concurrent recovery deleted the old lock first), and its FRESH
+          // lock must not be swept.
+          val m = StoreFs.mtime(fs, lock)
+          if (m > 0 && System.currentTimeMillis() - m >= swapLockFreshMs)
+            StoreFs.deleteQuietly(fs, lock)
         }
-        // The stale lock itself is the crashed writer's last leftover
-        // (ADVICE r17 low): leaving it wedged every subsequent
-        // publishBucketed at Files.createFile until an operator deleted it
-        // by hand — the data recovered automatically but the store stayed
-        // unwritable. Having already ACTED on the "writer is dead"
-        // adjudication by renaming its stage, deleting the lock adds no new
-        // risk — but re-check staleness at the deletion instant: between
-        // our adjudication and now, a NEW publish could have started (after
-        // a concurrent recovery deleted the old lock first), and its FRESH
-        // lock must not be swept.
-        val m = StoreFs.mtime(fs, lock)
-        if (m > 0 && System.currentTimeMillis() - m >= swapLockFreshMs)
-          StoreFs.deleteQuietly(fs, lock)
       }
     }
 

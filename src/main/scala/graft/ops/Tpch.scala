@@ -139,10 +139,17 @@ object Tpch {
     val li = Tables(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
-    // The hot-key list is aggregate-derived (≥6-lines-per-order keys): its
-    // true size is the skew tail, bounded by corpus/threshold — invisible
-    // to plan-time stats, hence [[Hints.aggBroadcast]] (probed r20: the
-    // seam lets [[graft.AggHintProbe]] measure AQE's unhinted plan).
+    // The hot-key list's forced broadcast STAYS — the one aggregate-derived
+    // hint the r20 AggHintProbe adjudicated as load-bearing: unhinted at
+    // sf100, AQE's runtime conversion MISSES (the hot list outgrows the
+    // 10 MB adaptive threshold → final plan BHJ=0/SMJ=6) and the tag joins
+    // shuffle the ENTIRE fact on the very key whose skew this operator
+    // exists to dodge — 89.8 s vs 79.4 s hinted. The true bound is the
+    // SKEW TAIL: #hot ≤ corpus rows / threshold, and the production
+    // contract is to size the threshold (rows-per-task budget) so that
+    // list stays broadcastable — a corpus where it can't is a corpus whose
+    // "hot keys" no longer overwhelm a task, i.e. where this operator is
+    // the wrong tool. [[Hints.aggBroadcast]] keeps the probe seam.
     val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 6).select(col("l_orderkey").as("hk"))
     val fact = li.join(Hints.aggBroadcast(hot), col("l_orderkey") === col("hk"), "left")
@@ -461,7 +468,17 @@ object Tpch {
     * the same argmin as a ranked window, so the hash match proves the
     * struct-min ≡ window-rank equivalence. A window would also work here
     * but costs a per-partition sort; the struct-min is the shape that
-    * scales. */
+    * scales.
+    *
+    * The argmin set joins back UNHINTED (VERDICT r19 next #1, adjudicated
+    * by [[graft.AggHintProbe]] r20): `edges` is already hash-partitioned
+    * on (l_partkey, l_suppkey) by its distinct(), which are exactly the
+    * join keys, so the probe side of the argmin join is EXCHANGE-FREE
+    * under sort-merge, while the old forced broadcast materialized the
+    * per-part argmin — an SF-proportional side — through the driver.
+    * Measured: unhinted is FASTER at both probed decades (sf0.1 1.05 →
+    * 0.69 s, sf100 77.1 → 68.2 s) and cannot OOM the driver at any scale;
+    * AQE remains free to broadcast from runtime sizes where that wins. */
   val tpch2: Q = (s, d) => {
     val pa = Tables(s, d, "part")
       .filter(col("p_name").contains("bolt") && col("p_size") < 10)
@@ -475,7 +492,7 @@ object Tpch {
     val best = edges.groupBy(col("p_partkey").as("b_partkey"))
       .agg(min(struct(col("s_acctbal"), col("s_suppkey"))).as("b"))
       .select(col("b_partkey"), col("b.s_suppkey").as("b_supp"))
-    edges.join(Hints.aggBroadcast(best), col("p_partkey") === col("b_partkey") && col("s_suppkey") === col("b_supp"))
+    edges.join(best, col("p_partkey") === col("b_partkey") && col("s_suppkey") === col("b_supp"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select("p_partkey", "p_name", "p_size", "s_suppkey", "s_name", "s_acctbal", "n_name")
       .orderBy(col("s_acctbal").desc, col("p_partkey"))
@@ -583,10 +600,14 @@ object Tpch {
     * supplier set semi-joins the supplier dim. The supplier dim is the
     * probe side of a left-semi whose build is an aggregated subquery —
     * TPC-H's nested-IN pattern with the correlation flattened into one
-    * fact shuffle on the composite key. The build is explicitly broadcast:
-    * post-aggregation Catalyst has no size estimate (it assumes big and
-    * picks sort-merge), but the distinct-supplier set is bounded by the
-    * supplier dim's cardinality by construction, so it always fits. */
+    * fact shuffle on the composite key. The build is UNHINTED (VERDICT r19
+    * next #1, adjudicated by [[graft.AggHintProbe]] r20): the old forced
+    * broadcast pushed the distinct-supplier set — bounded by the supplier
+    * dim, i.e. SF-proportional — through the driver, and measured SLOWER
+    * than letting the planner run the semi as a sort-merge with AQE free
+    * to convert from runtime sizes (sf0.1 0.38 → 0.37 s, sf100 9.5 →
+    * 7.8 s unhinted): the supplier probe side is dim-sized, so the
+    * "avoided" shuffle was never the cost the hint assumed. */
   val tpch20: Q = (s, d) => {
     val bolts = Tables(s, d, "part")
       .filter(col("p_name").contains("bolt")).select("p_partkey")
@@ -598,7 +619,7 @@ object Tpch {
       .filter(col("sum_qty") > 90L)
       .select("l_suppkey").distinct()
     Tables(s, d, "supplier").select("s_suppkey", "s_name", "s_acctbal")
-      .join(Hints.aggBroadcast(vol), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(vol, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .orderBy("s_suppkey")
   }
 

@@ -28,9 +28,38 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round20Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def fmt(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  // ---- sig-tier planted fixture (the Round14/15/17/18/19Spec geometry) ----
+  private def words(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+  private val (tA, tC, tE, tF, tG) =
+    (words("alpha"), words("charlie"), words("echo"), words("foxtrot"),
+     words("golf"))
+  private def docsDF(rows: (Long, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+  private def sigDay0 = docsDF(1L -> tA, 2L -> tA, 3L -> tC, 5L -> tE, 6L -> tF)
+  private def sigDay1 = docsDF(10L -> tA, 11L -> tE, 12L -> tG, 13L -> tG)
+  private val sigDay1Want = Map(1L -> 1L, 2L -> 1L, 10L -> 1L,
+    5L -> 5L, 11L -> 5L, 12L -> 12L, 13L -> 12L)
+
+  private def dropSigTables(base: String): Unit =
+    Seq("_bands", "_toks", "_labels", "_labels_stage", "_labels_delta").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+
+  private def viewOf(tbl: String): Map[Long, Long] = {
+    ops.TextOps.recoverSwap(spark, tbl)
+    ops.TextOps.readLabels(spark, tbl, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def liveDirName(tbl: String): String =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location).getName
 
   // ------------------------------------------------------------------
   // 1. The base-scan gate for join-derived dims.
@@ -191,6 +220,100 @@ class Round20Spec extends AnyFunSuite {
       ops.Hints.DimBroadcastMaxBytes = savedCeil
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // 4. The generation manifest (VERDICT r19 next #2).
+  // ------------------------------------------------------------------
+
+  test("StoreFs.writeAtomic replaces content atomically; readSmall is None on missing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir.toString, "x.manifest")
+      val fs = ops.StoreFs.fs(spark, p)
+      assert(ops.StoreFs.readSmall(fs, p).isEmpty, "missing manifest reads as None")
+      ops.StoreFs.writeAtomic(fs, p, "gen_one")
+      assert(ops.StoreFs.readSmall(fs, p).contains("gen_one"))
+      ops.StoreFs.writeAtomic(fs, p, "gen_two")
+      assert(ops.StoreFs.readSmall(fs, p).contains("gen_two"),
+        "replace-existing must succeed (the every-publish path)")
+      assert(!dir.toFile.listFiles().exists(_.getName.contains(".tmp.")),
+        "no staging residue after the atomic move")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("every publish commits through the manifest: it names the live generation") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    val savedRuns = ops.TextOps.LabelFoldRuns
+    try {
+      ops.TextOps.LabelFoldRuns = 1 // fold (stage-then-swap) on every run
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      val live = liveDirName(s"${base}_labels")
+      val stem = ops.TextOps.storeStem(live)
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      val m = ops.StoreFs.readSmall(fs,
+        ops.TextOps.manifestPath(new org.apache.hadoop.fs.Path(dir.toString), stem))
+      assert(m.map(_.trim).contains(live),
+        s"the manifest must name the live generation: manifest=$m live=$live")
+      assert(viewOf(s"${base}_labels") == sigDay1Want)
+    } finally {
+      ops.TextOps.LabelFoldRuns = savedRuns
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("a crash between manifest PUT and catalog drop: the read path serves the manifest-committed generation") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    val savedRuns = ops.TextOps.LabelFoldRuns
+    try {
+      ops.TextOps.LabelFoldRuns = 1
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      val oldGen = liveDirName(s"${base}_labels")
+      ops.TextOps.SwapHooks.afterManifestPut =
+        () => throw new RuntimeException("injected crash after the manifest PUT")
+      try intercept[RuntimeException] {
+        ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      } finally ops.TextOps.SwapHooks.reset()
+      // The crash landed BEFORE the catalog drop: the old generation is
+      // still the cataloged live table, the staged one is on disk, and the
+      // manifest — the commit point — already names the stage.
+      assert(spark.catalog.tableExists(s"${base}_labels"),
+        "fixture: the crash must land before the drop")
+      assert(spark.catalog.tableExists(s"${base}_labels_stage"))
+      assert(liveDirName(s"${base}_labels") == oldGen,
+        "fixture: the catalog must still lag at the old generation")
+      val stageGen = liveDirName(s"${base}_labels_stage")
+      val stem = ops.TextOps.storeStem(stageGen)
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      assert(ops.StoreFs.readSmall(fs, ops.TextOps.manifestPath(
+          new org.apache.hadoop.fs.Path(dir.toString), stem)).map(_.trim)
+        .contains(stageGen), "fixture: the manifest must name the staged generation")
+      // The READ path (recoverSwap + overlay view) must reconcile the
+      // catalog to the manifest and serve the committed generation — the
+      // publish's finally-unlock already removed the lock, so the
+      // adjudication is immediate.
+      assert(viewOf(s"${base}_labels") == sigDay1Want,
+        "the read must serve the manifest-committed generation, not the stale catalog one")
+      assert(liveDirName(s"${base}_labels") == stageGen,
+        "recovery republishes the manifest generation in the catalog")
+      assert(!spark.catalog.tableExists(s"${base}_labels_stage"))
+      // Recovery retires the superseded generation directly — the day-0
+      // directory carries no `_g` suffix, so the orphan sweep could never
+      // reclaim it.
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir.toString + "/" + oldGen)),
+        "recovery must delete the superseded (suffix-less day-0) generation")
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(viewOf(s"${base}_labels") == sigDay1Want, "the replay is a fixed point")
+    } finally {
+      ops.TextOps.LabelFoldRuns = savedRuns
+      ops.TextOps.SwapHooks.reset()
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
 }
