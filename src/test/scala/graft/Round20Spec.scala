@@ -316,4 +316,76 @@ class Round20Spec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
+
+  test("a reader inside a HEALTHY publish's manifest→drop window does not steal the swap (fresh lock)") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    val savedRuns = ops.TextOps.LabelFoldRuns
+    try {
+      ops.TextOps.LabelFoldRuns = 1
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      val oldGen = liveDirName(s"${base}_labels")
+      // Simulate a concurrent reader landing EXACTLY between the writer's
+      // manifest PUT and its catalog drop: the lock is fresh (re-touched
+      // milliseconds ago), the manifest already names the staged
+      // generation — the reader must leave the swap to the live writer
+      // (the old generation still serves, so nothing blocks).
+      var liveDuringWindow: Option[String] = None
+      ops.TextOps.SwapHooks.afterManifestPut = () => {
+        ops.TextOps.recoverSwap(spark, s"${base}_labels")
+        liveDuringWindow = Some(liveDirName(s"${base}_labels"))
+      }
+      try ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      finally ops.TextOps.SwapHooks.reset()
+      assert(liveDuringWindow.contains(oldGen),
+        "the reader must NOT steal a fresh-locked writer's swap — the old " +
+        s"generation serves through the window: $liveDuringWindow vs $oldGen")
+      // …and the writer's own swap then completed normally.
+      assert(liveDirName(s"${base}_labels") != oldGen)
+      assert(viewOf(s"${base}_labels") == sigDay1Want)
+    } finally {
+      ops.TextOps.LabelFoldRuns = savedRuns
+      ops.TextOps.SwapHooks.reset()
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("a legacy (manifest-less) drop→rename crash recovers AND heals the manifest forward") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    val savedRuns = ops.TextOps.LabelFoldRuns
+    try {
+      ops.TextOps.LabelFoldRuns = 1
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      ops.TextOps.SwapHooks.afterDrop =
+        () => throw new RuntimeException("injected crash between drop and rename")
+      try intercept[RuntimeException] {
+        ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      } finally ops.TextOps.SwapHooks.reset()
+      assert(!spark.catalog.tableExists(s"${base}_labels"),
+        "fixture: the crash must land in the neither-table window")
+      val stageGen = liveDirName(s"${base}_labels_stage")
+      val stem = ops.TextOps.storeStem(stageGen)
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      val manifest = ops.TextOps.manifestPath(
+        new org.apache.hadoop.fs.Path(dir.toString), stem)
+      // Erase the manifest to reproduce a store written by PRE-manifest
+      // code crashing in the classic window: recovery must still complete
+      // the swap from the stage table alone…
+      assert(ops.StoreFs.deleteQuietly(fs, manifest), "fixture: manifest existed")
+      assert(viewOf(s"${base}_labels") == sigDay1Want,
+        "the classic stage-table recovery path must keep working without a manifest")
+      // …and heal the manifest forward, so later reads resolve the live
+      // generation without the catalog.
+      assert(ops.StoreFs.readSmall(fs, manifest).map(_.trim)
+        .contains(liveDirName(s"${base}_labels")),
+        "recovery must write the manifest for a legacy store")
+    } finally {
+      ops.TextOps.LabelFoldRuns = savedRuns
+      ops.TextOps.SwapHooks.reset()
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
 }
