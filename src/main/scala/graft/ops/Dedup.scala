@@ -635,7 +635,12 @@ object Dedup {
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
       .repartition(buckets, col("doc_id"))
       .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$loc/labels").mode("overwrite").saveAsTable(s"${base}_labels")
+      // Generation-suffixed + manifest-committed from birth (r20): a bare
+      // `$loc/labels` day-0 leaked forever if a later fold crashed between
+      // its rename and its superseded-delete — see [[TextOps.day0Location]].
+      .option("path", TextOps.day0Location(loc, "labels"))
+      .mode("overwrite").saveAsTable(s"${base}_labels")
+    TextOps.commitDay0(s, s"${base}_labels", "labels")
   }
 
   /** A batch's NEW verified edges: batch×store candidates from the bucketed

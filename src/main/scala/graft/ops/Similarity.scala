@@ -414,7 +414,11 @@ object Similarity {
       .select(col("id").as("vec_id"), col("comp").as("canonical_id"))
       .repartition(buckets, col("vec_id"))
       .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
-      .option("path", s"$loc/elabels").mode("overwrite").saveAsTable(s"${base}_elabels")
+      // Generation-suffixed + manifest-committed from birth (r20) — see
+      // [[TextOps.day0Location]] for the leak the bare path had.
+      .option("path", TextOps.day0Location(loc, "elabels"))
+      .mode("overwrite").saveAsTable(s"${base}_elabels")
+    TextOps.commitDay0(s, s"${base}_elabels", "elabels")
   }
 
   /** A batch's NEW verified edges: batch×store candidates from the bucketed

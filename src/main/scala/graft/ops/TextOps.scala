@@ -441,8 +441,10 @@ object TextOps {
     @volatile var afterStageWrite: () => Unit = () => ()
     @volatile var afterManifestPut: () => Unit = () => ()
     @volatile var afterDrop: () => Unit = () => ()
+    @volatile var afterRename: () => Unit = () => ()
     private[graft] def reset(): Unit = {
       afterStageWrite = () => (); afterManifestPut = () => (); afterDrop = () => ()
+      afterRename = () => ()
     }
   }
 
@@ -458,14 +460,64 @@ object TextOps {
     * generation as authoritative and finish the catalog swap from it —
     * so on object stores, where directory rename is non-atomic, the swap
     * inherits the manifest PUT's atomicity instead (see [[StoreFs]]'s
-    * narrowed caveat). A store never yet published through
-    * [[publishBucketed]] has no manifest; readers then fall back to the
-    * catalog, and the first publish (or a legacy-window recovery) heals
-    * the manifest forward. Never matches [[GenSuffixRe]], so the orphan
-    * sweep cannot reclaim it. */
+    * narrowed caveat). Generation tables born through [[commitDay0]] carry
+    * a manifest from their very first write; a store created by older code
+    * has none until its first publish (or a legacy-window recovery) heals
+    * it forward — readers then fall back to the catalog. Never matches
+    * [[GenSuffixRe]], so the orphan sweep cannot reclaim it. */
   private[graft] def manifestPath(parent: org.apache.hadoop.fs.Path,
                                   stem: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(parent, s"$stem.manifest")
+
+  /** Location for a DAY-0 build of a generation table (r20): generation-
+    * suffixed from birth, like every location [[publishBucketed]] will ever
+    * stage for it. The pre-r20 layout wrote day-0 at the bare `<stem>`
+    * path, which left two crash windows that leaked it PERMANENTLY: a fold
+    * crashing between its catalog rename and its superseded-directory
+    * delete (or between drop and rename) strands the day-0 directory with
+    * no catalog reference, no `_stage` table for [[recoverSwap]] to act on,
+    * and a name the orphan sweep's [[GenSuffixRe]] can never match. A
+    * suffixed day-0 is just another generation: every later crash leftover
+    * falls to the standing sweep. Callers write here, register the table,
+    * then seal it with [[commitDay0]]. */
+  private[graft] def day0Location(parent: String, stem: String): String =
+    new org.apache.hadoop.fs.Path(parent,
+      genDirName(stem, System.nanoTime())).toString
+
+  /** Seal a freshly-written day-0 generation (r20): record [[StemProp]],
+    * PUT the manifest naming it live (so an object-store reader resolves
+    * the store through the manifest from its very first write, not only
+    * after the first fold), and retire every sibling the new build
+    * supersedes — prior `<stem>_g*` generations (a REBUILD of an existing
+    * store, e.g. a centroid retrain or a from-scratch re-cluster, would
+    * otherwise strand its predecessor until the first fold's sweep) plus a
+    * legacy bare-`<stem>` directory from the pre-r20 layout (the one name
+    * the sweep can never see — retiring it here is the migration step).
+    * Same single-writer contract as the rest of the lifecycle: the caller
+    * owns the store exclusively during a day-0 build, exactly as
+    * [[buildStoreOnce]]-style builders already assume when they DROP the
+    * previous tables. */
+  private[graft] def commitDay0(s: SparkSession, tbl: String, stem: String): Unit = {
+    val meta = storeMeta(s)(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val live = new org.apache.hadoop.fs.Path(meta.location)
+    val parent = live.getParent
+    val fs = StoreFs.fs(s, live)
+    s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('$StemProp'='$stem')")
+    StoreFs.writeAtomic(fs, manifestPath(parent, stem), live.getName)
+    val gen = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(stem) + GenSuffixRe)
+    val liveQ = fs.makeQualified(live)
+    val superseded = (StoreFs.listDirs(fs, parent)
+        .filter(st => gen.matcher(st.getPath.getName).matches())
+        .map(_.getPath) :+ new org.apache.hadoop.fs.Path(parent, stem))
+      .filter(p => fs.makeQualified(p) != liveQ && fs.exists(p))
+    val failed = superseded.filterNot(StoreFs.deleteQuietly(fs, _))
+    if (failed.nonEmpty)
+      System.err.println(s"[graft] commitDay0($tbl): failed to delete superseded " +
+        s"${failed.map(_.getName).mkString(",")} — the next publish's sweep retries " +
+        "the suffixed ones; a legacy bare-stem directory needs operator cleanup")
+  }
 
   /** Crash-safe full rewrite of a bucketed store table (VERDICT r13 next
     * #2, generalized r14): drop-then-overwrite-same-path had a window where
@@ -604,6 +656,12 @@ object TextOps {
           System.err.println(s"[graft] publishBucketed($tbl): rename lost a " +
             s"recovery race but the swap committed (${e.getClass.getSimpleName})")
       }
+      SwapHooks.afterRename()
+      // A crash here (rename committed, superseded generation not yet
+      // deleted) strands oldLoc with no catalog reference and no stage
+      // table — only the NEXT publish's orphan sweep reclaims it, which is
+      // why day-0 builds are generation-suffixed too ([[day0Location]]): a
+      // bare-stem day-0 in this window leaked forever.
       if (!StoreFs.deleteQuietly(fs, oldLoc) && fs.exists(oldLoc))
         System.err.println(s"[graft] publishBucketed($tbl): failed to delete " +
           s"superseded generation ${oldLoc.getName} — the next publish's orphan sweep retries it")
@@ -763,9 +821,10 @@ object TextOps {
           // The crashed writer's undone catalog drop (manifest→drop
           // window): the manifest committed the staged generation, so the
           // stale live name must yield to it. Capture its location first —
-          // the superseded generation's directory is deleted below, NOT
-          // left to the orphan sweep: a day-0 build directory carries no
-          // `_g` suffix, so the sweep's generation regex can never see it.
+          // the superseded generation's directory is deleted below rather
+          // than left to the orphan sweep: day-0 directories are suffixed
+          // since r20 ([[day0Location]]), but a legacy bare-stem day-0
+          // carried no `_g` suffix and the sweep's regex can never see it.
           val superseded = if (liveExists) Some(new org.apache.hadoop.fs.Path(
             storeMeta(s)(org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location))
           else None
@@ -788,8 +847,8 @@ object TextOps {
           // Retire the superseded generation once the rename committed —
           // the crashed publish never reached its own delete ([[
           // publishBucketed]]'s post-swap step); a failure here is garbage
-          // the next publish's sweep retries, except the suffix-less day-0
-          // directory, which only this path can reclaim.
+          // the next publish's sweep retries, except a legacy suffix-less
+          // day-0 directory, which only this path can reclaim.
           superseded.filter(p => s.catalog.tableExists(tbl) &&
               fs.makeQualified(p) != fs.makeQualified(stageDir))
             .foreach { p =>

@@ -302,11 +302,11 @@ class Round20Spec extends AnyFunSuite {
       assert(liveDirName(s"${base}_labels") == stageGen,
         "recovery republishes the manifest generation in the catalog")
       assert(!spark.catalog.tableExists(s"${base}_labels_stage"))
-      // Recovery retires the superseded generation directly — the day-0
-      // directory carries no `_g` suffix, so the orphan sweep could never
-      // reclaim it.
+      // Recovery retires the superseded generation directly rather than
+      // leaving it to the next publish's sweep (and for a LEGACY bare-stem
+      // day-0 this path is the only one that ever could).
       assert(!fs.exists(new org.apache.hadoop.fs.Path(dir.toString + "/" + oldGen)),
-        "recovery must delete the superseded (suffix-less day-0) generation")
+        "recovery must delete the superseded day-0 generation")
       ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
       assert(viewOf(s"${base}_labels") == sigDay1Want, "the replay is a fixed point")
     } finally {
@@ -385,6 +385,134 @@ class Round20Spec extends AnyFunSuite {
       ops.TextOps.LabelFoldRuns = savedRuns
       ops.TextOps.SwapHooks.reset()
       dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // 5. Day-0 generations are suffixed + manifest-committed from birth.
+  //    The pre-r20 bare-`<stem>` day-0 leaked PERMANENTLY if a fold
+  //    crashed after its catalog rename (or between drop and rename with
+  //    the manifest already gone): no catalog reference, no stage table
+  //    for recoverSwap, and a name the sweep's `_g` regex never matches.
+  // ------------------------------------------------------------------
+
+  test("a day-0 label build is generation-suffixed and manifest-committed at birth") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      val live = liveDirName(s"${base}_labels")
+      assert(live.matches("labels" + ops.TextOps.GenSuffixRe),
+        s"day-0 must land in a generation-suffixed directory: $live")
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      assert(ops.StoreFs.readSmall(fs, ops.TextOps.manifestPath(
+          new org.apache.hadoop.fs.Path(dir.toString), "labels")).map(_.trim)
+        .contains(live),
+        "the manifest must name the day-0 generation before any fold ever runs")
+      assert(viewOf(s"${base}_labels") == Map(1L -> 1L, 2L -> 1L),
+        "day-0 content unchanged by the layout change")
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("a crash between rename and superseded-delete: the next fold's sweep reclaims the stranded generation") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    val savedRuns = ops.TextOps.LabelFoldRuns
+    try {
+      ops.TextOps.LabelFoldRuns = 1
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      val day0Gen = liveDirName(s"${base}_labels")
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      ops.TextOps.SwapHooks.afterRename =
+        () => throw new RuntimeException("injected crash after the catalog rename")
+      try intercept[RuntimeException] {
+        ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      } finally ops.TextOps.SwapHooks.reset()
+      // The swap COMMITTED (manifest + rename both landed) — only the
+      // superseded-delete was lost. The day-0 directory is stranded: no
+      // catalog reference, no stage table, nothing recoverSwap can act on.
+      assert(liveDirName(s"${base}_labels") != day0Gen,
+        "fixture: the rename must have committed before the crash")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir.toString + "/" + day0Gen)),
+        "fixture: the superseded day-0 generation must be stranded on disk")
+      assert(viewOf(s"${base}_labels") == sigDay1Want,
+        "the committed generation serves through the leftover")
+      // The next fold's orphan sweep reclaims it — possible ONLY because
+      // day-0 is generation-suffixed: the bare `labels` layout was
+      // invisible to the sweep's regex forever.
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir.toString + "/" + day0Gen)),
+        "the next publish's sweep must reclaim the stranded day-0 generation")
+      assert(viewOf(s"${base}_labels") == sigDay1Want, "the replay is a fixed point")
+    } finally {
+      ops.TextOps.LabelFoldRuns = savedRuns
+      ops.TextOps.SwapHooks.reset()
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("a rebuild retires its predecessor generation and a legacy bare-stem directory") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      val gen0 = liveDirName(s"${base}_labels")
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      // Plant the pre-r20 layout's bare-stem directory: a store built by
+      // older code being rebuilt in place — commitDay0's migration step
+      // must retire it (no sweep can, and after the rebuild nothing else
+      // ever references it).
+      val legacy = new org.apache.hadoop.fs.Path(dir.toString, "labels")
+      fs.mkdirs(legacy)
+      ops.StoreFs.writeAtomic(fs,
+        new org.apache.hadoop.fs.Path(legacy, "part-stale"), "stale")
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      val gen1 = liveDirName(s"${base}_labels")
+      assert(gen1 != gen0, "a rebuild lands a fresh generation")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir.toString + "/" + gen0)),
+        "the rebuild must retire its predecessor generation at commit")
+      assert(!fs.exists(legacy),
+        "the rebuild must retire a legacy bare-stem directory (the migration step)")
+      assert(ops.StoreFs.readSmall(fs, ops.TextOps.manifestPath(
+          new org.apache.hadoop.fs.Path(dir.toString), "labels")).map(_.trim)
+        .contains(gen1), "the manifest follows the rebuild")
+      assert(viewOf(s"${base}_labels") == Map(1L -> 1L, 2L -> 1L))
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("the embed-tier day-0 shares the suffixed + manifest-committed layout") {
+    import spark.implicits._
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    try {
+      // The Round14Spec geometry (band hashing needs ≥ 32 sign dims).
+      def v(pattern: Int, t: Float): Array[Float] = {
+        val a = new Array[Float](64)
+        val s = (1.0 / math.sqrt(32.0)).toFloat
+        for (i <- 0 until 32) a(i) = if (((pattern >> (i % 16)) & 1) == 1) s else -s
+        a(32) = t; a
+      }
+      val vecs = Seq((1L, v(0xA5A5, 0.1f)), (2L, v(0xA5A5, 0.1f)),
+        (3L, v(0xA5A5, -0.1f)), (7L, v(0x3C97, 0.2f))).toDF("vec_id", "embedding")
+      ops.Similarity.buildEmbedClusterStore(spark, base, dir.toString, vecs, buckets = 4)
+      val live = liveDirName(s"${base}_elabels")
+      assert(live.matches("elabels" + ops.TextOps.GenSuffixRe),
+        s"embed day-0 must land generation-suffixed: $live")
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      assert(ops.StoreFs.readSmall(fs, ops.TextOps.manifestPath(
+          new org.apache.hadoop.fs.Path(dir.toString), "elabels")).map(_.trim)
+        .contains(live), "the embed manifest must name the day-0 generation")
+    } finally {
+      Seq("_ebands", "_evecs", "_elabels", "_elabels_stage", "_elabels_delta")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
