@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * point is the single-object manifest PUT ([[writeAtomic]] /
   * [[TextOps.publishBucketed]]'s `<stem>.manifest`), which S3 DOES make
   * atomically visible, and readers reconcile from the manifest
-  * ([[TextOps.recoverSwap]]). What still assumes rename-as-commit on S3A:
+  * ([[TextOps.recoverSwap]]); since the second r20 session DAY-0 builds
+  * are manifest-committed too ([[TextOps.commitDay0]]), so the manifest
+  * names the live generation for the store's whole life, not only after
+  * its first fold. What still assumes rename-as-commit on S3A:
   * the COMPACTION write-asides ([[TextOps.compactStore]] /
   * [[Similarity.ivfCompactCells]] move staged files into the live
   * directory one rename at a time) and the swap LOCK's
