@@ -517,6 +517,17 @@ object TextOps {
       System.err.println(s"[graft] commitDay0($tbl): failed to delete superseded " +
         s"${failed.map(_.getName).mkString(",")} — the next publish's sweep retries " +
         "the suffixed ones; a legacy bare-stem directory needs operator cleanup")
+    // A rebuild-in-place also strands the previous store's DELTA FILES:
+    // the builders `DROP TABLE <tbl>_delta` (both do, right before the
+    // day-0 write), but dropping an EXTERNAL table leaves its directory —
+    // and the next maintenance run's `mode("append").saveAsTable` would
+    // re-register the delta table OVER the stale files, overlaying the old
+    // store's labels (at their old, possibly higher seqs) onto the fresh
+    // build. The delta table is never registered at day-0 commit time, so
+    // the directory is stale-or-absent by contract; the tableExists guard
+    // keeps this safe even for a caller that violates it.
+    if (!s.catalog.tableExists(s"${tbl}_delta"))
+      StoreFs.deleteQuietly(fs, new org.apache.hadoop.fs.Path(parent, s"${stem}_delta"))
   }
 
   /** Crash-safe full rewrite of a bucketed store table (VERDICT r13 next

@@ -488,6 +488,36 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("a rebuild-in-place clears the previous store's stale delta files") {
+    val base = s"graft_r20_man_${ctr.incrementAndGet()}"
+    val dir = java.nio.file.Files.createTempDirectory("graft_r20_man_")
+    try {
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      // Accrete a delta the fold cadence (default 8) will NOT clear: docs
+      // 20/21 join doc 5's cluster, so the delta holds rows a fresh build
+      // could never produce.
+      ops.Dedup.maintainSigClusterStore(spark, base, docsDF(20L -> tE, 21L -> tE))
+      val fs = ops.StoreFs.fs(spark, new org.apache.hadoop.fs.Path(dir.toString))
+      val deltaDir = new org.apache.hadoop.fs.Path(dir.toString, "labels_delta")
+      assert(ops.StoreFs.listFiles(fs, deltaDir).nonEmpty,
+        "fixture: the pre-rebuild store must leave delta files behind")
+      // Rebuild in place: the builder drops the EXTERNAL delta table, which
+      // leaves its files — without commitDay0's cleanup the next
+      // maintenance would re-register the delta table over them and
+      // overlay the OLD store's labels (docs 20/21) onto the new one.
+      ops.Dedup.buildSigClusterStore(spark, base, dir.toString, sigDay0, buckets = 8)
+      assert(ops.StoreFs.listFiles(fs, deltaDir).isEmpty,
+        "the rebuild must clear the previous store's stale delta files")
+      ops.Dedup.maintainSigClusterStore(spark, base, sigDay1)
+      assert(viewOf(s"${base}_labels") == sigDay1Want,
+        "post-rebuild maintenance must see only its own deltas — no " +
+        "resurrected labels from the pre-rebuild store")
+    } finally {
+      dropSigTables(base)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("the embed-tier day-0 shares the suffixed + manifest-committed layout") {
     import spark.implicits._
     val base = s"graft_r20_man_${ctr.incrementAndGet()}"
