@@ -627,8 +627,12 @@ object Dedup {
     buildSigStore(s, base, loc, docs, buckets)
     s.sql(s"DROP TABLE IF EXISTS ${base}_labels")
     // A delta left over from a prior store registered under the same name
-    // would overlay stale labels onto the fresh day-0 build.
+    // would overlay stale labels onto the fresh day-0 build. Clear the
+    // dropped external table's FILES too (ADVICE r20 low): a crash before
+    // commitDay0's own delta-clear would leave them for the next append to
+    // re-register, resurrecting pre-rebuild labels via latest-wins.
     s.sql(s"DROP TABLE IF EXISTS ${base}_labels_delta")
+    TextOps.clearDeltaDir(s, loc, "labels")
     connectedComponentsAuto(
         exactJaccard(candidatePairs(bandsOf(docs)), docs)
           .filter(col("jaccard") >= threshold).select("doc_a", "doc_b"))

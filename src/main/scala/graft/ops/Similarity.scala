@@ -406,8 +406,12 @@ object Similarity {
     buildEmbedBandStore(s, base, loc, vecs, bands, bits, buckets)
     s.sql(s"DROP TABLE IF EXISTS ${base}_elabels")
     // A delta left over from a prior store registered under the same name
-    // would overlay stale labels onto the fresh day-0 build.
+    // would overlay stale labels onto the fresh day-0 build. Clear the
+    // dropped external table's FILES too (ADVICE r20 low): a crash before
+    // commitDay0's own delta-clear would leave them for the next append to
+    // re-register, resurrecting pre-rebuild labels via latest-wins.
     s.sql(s"DROP TABLE IF EXISTS ${base}_elabels_delta")
+    TextOps.clearDeltaDir(s, loc, "elabels")
     Dedup.connectedComponentsAuto(
         embedNearDupBanded(vecs, threshold, bands, bits)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))

@@ -503,31 +503,65 @@ object TextOps {
     val live = new org.apache.hadoop.fs.Path(meta.location)
     val parent = live.getParent
     val fs = StoreFs.fs(s, live)
-    s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('$StemProp'='$stem')")
-    StoreFs.writeAtomic(fs, manifestPath(parent, stem), live.getName)
-    val gen = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(stem) + GenSuffixRe)
-    val liveQ = fs.makeQualified(live)
-    val superseded = (StoreFs.listDirs(fs, parent)
-        .filter(st => gen.matcher(st.getPath.getName).matches())
-        .map(_.getPath) :+ new org.apache.hadoop.fs.Path(parent, stem))
-      .filter(p => fs.makeQualified(p) != liveQ && fs.exists(p))
-    val failed = superseded.filterNot(StoreFs.deleteQuietly(fs, _))
-    if (failed.nonEmpty)
-      System.err.println(s"[graft] commitDay0($tbl): failed to delete superseded " +
-        s"${failed.map(_.getName).mkString(",")} — the next publish's sweep retries " +
-        "the suffixed ones; a legacy bare-stem directory needs operator cleanup")
-    // A rebuild-in-place also strands the previous store's DELTA FILES:
-    // the builders `DROP TABLE <tbl>_delta` (both do, right before the
-    // day-0 write), but dropping an EXTERNAL table leaves its directory —
-    // and the next maintenance run's `mode("append").saveAsTable` would
-    // re-register the delta table OVER the stale files, overlaying the old
-    // store's labels (at their old, possibly higher seqs) onto the fresh
-    // build. The delta table is never registered at day-0 commit time, so
-    // the directory is stale-or-absent by contract; the tableExists guard
-    // keeps this safe even for a caller that violates it.
-    if (!s.catalog.tableExists(s"${tbl}_delta"))
-      StoreFs.deleteQuietly(fs, new org.apache.hadoop.fs.Path(parent, s"${stem}_delta"))
+    // Same single-writer guard as [[publishBucketed]] (ADVICE r20 low): a
+    // day-0 rebuild racing a live fold would otherwise silently delete the
+    // fold's staged generation in the superseded-sweep below and overwrite
+    // its manifest commit. The lock turns the contract violation into a
+    // loud failure instead of silent store corruption.
+    val lock = new org.apache.hadoop.fs.Path(parent, s"${stem}_swap.lock")
+    if (!StoreFs.createLockNoOverwrite(fs, lock))
+      throw new IllegalStateException(
+        s"commitDay0($tbl): $lock exists — the store lifecycle is " +
+        "single-writer per table, and another maintenance run appears to be " +
+        "mid-publish. If no writer process is alive, this is a hard-crash " +
+        "leftover: verify and delete the lock file, then rerun.")
+    try {
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('$StemProp'='$stem')")
+      StoreFs.writeAtomic(fs, manifestPath(parent, stem), live.getName)
+      val gen = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(stem) + GenSuffixRe)
+      val liveQ = fs.makeQualified(live)
+      val superseded = (StoreFs.listDirs(fs, parent)
+          .filter(st => gen.matcher(st.getPath.getName).matches())
+          .map(_.getPath) :+ new org.apache.hadoop.fs.Path(parent, stem))
+        .filter(p => fs.makeQualified(p) != liveQ && fs.exists(p))
+      val failed = superseded.filterNot(StoreFs.deleteQuietly(fs, _))
+      if (failed.nonEmpty)
+        System.err.println(s"[graft] commitDay0($tbl): failed to delete superseded " +
+          s"${failed.map(_.getName).mkString(",")} — the next publish's sweep retries " +
+          "the suffixed ones; a legacy bare-stem directory needs operator cleanup")
+      // A rebuild-in-place also strands the previous store's DELTA FILES:
+      // the builders `DROP TABLE <tbl>_delta` (both do, right before the
+      // day-0 write), but dropping an EXTERNAL table leaves its directory —
+      // and the next maintenance run's `mode("append").saveAsTable` would
+      // re-register the delta table OVER the stale files, overlaying the old
+      // store's labels (at their old, possibly higher seqs) onto the fresh
+      // build. The delta table is never registered at day-0 commit time, so
+      // the directory is stale-or-absent by contract; the tableExists guard
+      // keeps this safe even for a caller that violates it. (The builders
+      // also [[clearDeltaDir]] right after their DROP, closing the crash
+      // window between the drop and this commit — ADVICE r20 low.)
+      if (!s.catalog.tableExists(s"${tbl}_delta"))
+        StoreFs.deleteQuietly(fs, new org.apache.hadoop.fs.Path(parent, s"${stem}_delta"))
+    } finally {
+      if (!StoreFs.deleteQuietly(fs, lock) && fs.exists(lock))
+        System.err.println(s"[graft] commitDay0($tbl): failed to delete " +
+          s"swap lock ${lock.getName} — the next publish will refuse to start " +
+          "until it is removed (this was an unlock I/O failure, not a crash)")
+    }
+  }
+
+  /** Delete a store's `<stem>_delta` DIRECTORY under `parent` (ADVICE r20
+    * low): the builders `DROP TABLE ..._delta` before their day-0 write,
+    * but dropping an EXTERNAL table leaves its files — a crash between the
+    * drop and [[commitDay0]] (whose own delta-clear would catch it) leaves
+    * stale delta rows on disk for the next `mode("append").saveAsTable` to
+    * re-register, resurrecting pre-rebuild labels at their old higher seqs
+    * via latest-wins. Called immediately after the DROP so the window
+    * closes at the point the table ceases to exist. */
+  private[graft] def clearDeltaDir(s: SparkSession, parent: String, stem: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(parent, s"${stem}_delta")
+    StoreFs.deleteQuietly(StoreFs.fs(s, p), p)
   }
 
   /** Crash-safe full rewrite of a bucketed store table (VERDICT r13 next
