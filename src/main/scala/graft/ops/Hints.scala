@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions.broadcast
   *     non-CBO estimator multiplies join children), so a stats gate would
   *     mis-fire at every scale; their bounds and named 100-TB reshapes
   *     are documented at the site.
+  *
+  * CBO ADJUDICATED r21 ([[graft.CboProbe]], OPTIMIZATION_r21.md §3):
+  * `ANALYZE ... FOR COLUMNS` on catalog tables + `spark.sql.cbo.enabled`
+  * DOES fix the joined-dim estimate (supplier⋈nation 18.6 MB product →
+  * 2.8 KB) and recovers the hinted all-broadcast plan unhinted, at both
+  * probed decades — but adoption is blocked twice over: the registered
+  * surface reads parquet PATHS (no catalog entry to hold stats, and the
+  * maintained stores would need a re-ANALYZE on every generation swap),
+  * and Spark 4.1.2's CBO estimator throws `MatchError: TimestampNTZType`
+  * when column stats cover an NTZ timestamp under a comparison filter —
+  * `FOR ALL COLUMNS` breaks every dated query on this schema. The hint
+  * plumbing needs no stats lifecycle and yields the identical executed
+  * plan, so it stays.
   */
 object Hints {
 
