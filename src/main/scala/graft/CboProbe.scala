@@ -72,7 +72,9 @@ object CboProbe {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: CboProbe <sfDir>")
-    val d = args.head
+    // Absolutize: CREATE TABLE ... LOCATION resolves a relative path
+    // against spark-warehouse, not the cwd.
+    val d = new java.io.File(args.head).getAbsolutePath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", Bench.shufflePartitions(d, cpus))

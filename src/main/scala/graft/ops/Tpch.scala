@@ -122,36 +122,92 @@ object Tpch {
       .orderBy("o_orderpriority")
   }
 
+  /** The salted join's hot-key detection threshold, in ROWS PER KEY — the
+    * per-task row budget a single key's join group must breach before it
+    * is worth salting (the [[Extended.bucketsFor]] ≤~4M-rows-per-task
+    * provisioning budget, applied to one KEY instead of one bucket).
+    *
+    * RE-CALIBRATED r21 ([[graft.SkewJoinProbe]], OPTIMIZATION_r21.md §2):
+    * the original `>= 6` marked the fixture's TOP FAN-OUT BAND of an
+    * unskewed distribution — 21.9% of ALL order keys (32M keys at sf100),
+    * covering 37% of the fact. That is not a skew tail; it made the
+    * "bounded" hot list corpus-proportional (the exact scale-killer this
+    * operator exists to avoid): two ~32M-key broadcasts plus an ×8
+    * replication of a third of the dim — measured 422.9 s median at sf100
+    * vs 21.0 s for the checksum-identical plain join under AQE. Skew is
+    * ABSOLUTE, not relative: a key is hot when ITS rows overwhelm ONE
+    * task, so the production threshold is a rows-per-task budget,
+    * independent of corpus size — on data whose max fan-out is 7 (this
+    * fixture at every SF) a correctly calibrated detector finds NOTHING,
+    * and the operator degrades to detection + the plain join, which is
+    * precisely the right plan on unskewed data. Round8Spec drives the
+    * salting path itself through this seam (lowered so the fixture's
+    * fan-out band reads as hot) and pins plain-join identity both ways;
+    * the result is threshold-invariant by construction (the oracle IS the
+    * plain join). */
+  @volatile private[graft] var HotKeyRowThreshold: Long = 4000000L
+
   /** Hot-key-only salted skew join — the PRODUCTION form of [[saltedJoin]],
     * added after the r08 scaling sweep measured the naive form's ×S
     * whole-dim replication growing 5× at 10× data (PERF_NOTES r08): a
     * map-side-combined detection pass finds the keys heavy enough to
-    * overwhelm one reducer (here: per-order lineitem count ≥ 6 — the
-    * fixture's top fan-out band; in production the threshold is rows-per-
-    * task-budget, or the [[Custom.mgHeavyHitters]] sketch replaces the
-    * exact pass), the tiny hot-key set BROADCASTS to both sides, and only
-    * hot keys salt/replicate — the cold 99%+ flows through the plain
-    * equi-join path with salt 0. Extra shuffle volume is S× the HOT subset
-    * only, constant in the dim size. Result identical to the plain join at
-    * any threshold (the oracle IS the plain join). */
+    * overwhelm one reducer ([[HotKeyRowThreshold]] rows — the rows-per-
+    * task budget; at 100 TB the [[Custom.mgHeavyHitters]] sketch replaces
+    * the exact pass), the hot-key set — bounded by corpus-rows/threshold,
+    * i.e. ≤ a few hundred genuinely-skewed keys in any realistic corpus —
+    * BROADCASTS to both sides, and only hot keys salt/replicate — the
+    * cold remainder flows through the plain equi-join path with salt 0.
+    * Extra shuffle volume is S× the HOT subset only, constant in the dim
+    * size. Result identical to the plain join at any threshold (the
+    * oracle IS the plain join). */
+  /** The salted join's hot-key DETECTION (r21 — OPTIMIZATION_r21.md §2),
+    * extracted so tests can pin the detector directly. Two stages:
+    *
+    * Stage 1: candidates from a deterministic 1/256 row-hash Bernoulli
+    * sample instead of an exact count over every key — the exact pass was
+    * a full corpus-wide keys-count shuffle aggregate (150M groups at
+    * sf100, ~25 s and the probe's dominant variance source) spent
+    * measuring 99.99% of keys that cannot possibly be hot. A key at the
+    * 4M-row budget expects ~15.6k sampled rows against a 3.9k cutoff
+    * (Chernoff: miss probability ~e^-4500), keys under ~1M rows fall
+    * below the cutoff, so the candidate set is bounded by
+    * corpus-rows/1M — and a missed key costs only performance, never
+    * correctness: the join result is IDENTICAL under any hot set (both
+    * sides salt from the same list), with AQE's skew-join still on
+    * underneath as the backstop. The sample predicate is codegen'd
+    * built-ins (xxhash64 over all four row columns — row-level, NOT
+    * key-level: hashing the key alone would sample whole keys and see
+    * their full counts or nothing).
+    *
+    * Stage 2: EXACT count for the bounded candidate set only — a
+    * broadcast-filtered map-side pass (no corpus-wide shuffle; when the
+    * candidate set is empty AQE propagates the empty relation and the
+    * whole branch collapses at runtime), so the emitted list is exactly
+    * the candidates truly at-or-over [[HotKeyRowThreshold]]. */
+  private[graft] def saltedHotKeys(li: DataFrame): DataFrame = {
+    val SampleMod = 256L
+    val candCut = math.max(1L, HotKeyRowThreshold / SampleMod / 4)
+    val cands = li
+      .filter(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_quantity")), lit(SampleMod)) === 0L)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("sc"))
+      .filter(col("sc") >= candCut).select(col("l_orderkey").as("ck"))
+    li.join(Hints.aggBroadcast(cands), col("l_orderkey") === col("ck"))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= HotKeyRowThreshold).select(col("l_orderkey").as("hk"))
+  }
+
   val saltedHotJoin: Q = (s, d) => {
     val S = 8
     val li = Tables(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
     val ord = Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
-    // The hot-key list's forced broadcast STAYS — the one aggregate-derived
-    // hint the r20 AggHintProbe adjudicated as load-bearing: unhinted at
-    // sf100, AQE's runtime conversion MISSES (the hot list outgrows the
-    // 10 MB adaptive threshold → final plan BHJ=0/SMJ=6) and the tag joins
-    // shuffle the ENTIRE fact on the very key whose skew this operator
-    // exists to dodge — 89.8 s vs 79.4 s hinted. The true bound is the
-    // SKEW TAIL: #hot ≤ corpus rows / threshold, and the production
-    // contract is to size the threshold (rows-per-task budget) so that
-    // list stays broadcastable — a corpus where it can't is a corpus whose
-    // "hot keys" no longer overwhelm a task, i.e. where this operator is
-    // the wrong tool. [[Hints.aggBroadcast]] keeps the probe seam.
-    val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 6).select(col("l_orderkey").as("hk"))
+    // The hot list's forced broadcast stays (r20 AggHintProbe: unhinted,
+    // AQE's runtime conversion can miss and the tag joins then shuffle
+    // the ENTIRE fact on the skewed key itself); bounded by
+    // corpus-rows/[[HotKeyRowThreshold]] by construction.
+    // [[Hints.aggBroadcast]] keeps the probe seam.
+    val hot = saltedHotKeys(li)
     val fact = li.join(Hints.aggBroadcast(hot), col("l_orderkey") === col("hk"), "left")
       .withColumn("salt", when(col("hk").isNotNull,
         pmod(hash(col("l_linenumber"), col("l_partkey")), lit(S))).otherwise(lit(0)))

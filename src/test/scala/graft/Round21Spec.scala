@@ -83,6 +83,32 @@ class Round21Spec extends AnyFunSuite {
     }
   }
 
+  test("salted hot join at the production threshold: no fixture key is hot, result equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // The r21 re-calibration: skew is absolute (rows-per-task budget), so
+    // on a fixture whose max per-key fan-out is 7, detection must find
+    // NOTHING at the registered default — the operator degrades to
+    // detection + the plain join, the right plan on unskewed data.
+    assert(ops.Tpch.HotKeyRowThreshold == 4000000L)
+    val hotCount = Tables(spark, sf, "lineitem")
+      .groupBy("l_orderkey").count()
+      .filter(col("count") >= ops.Tpch.HotKeyRowThreshold).count()
+    assert(hotCount == 0,
+      "the production rows-per-task threshold must not classify the " +
+      "fixture's uniform fan-out band as skew")
+    assert(ops.Tpch.saltedHotKeys(Tables(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")).count() == 0,
+      "the sampled detector must agree: nothing is hot at the production threshold")
+    val plain = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(ops.Tpch.saltedHotJoin(spark, sf).collect().toSeq == plain,
+      "the empty-hot degenerate path must still equal the plain join")
+  }
+
   test("readSmall degrades a transient I/O failure to None (catalog decides)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r21_iofs_")
     try {

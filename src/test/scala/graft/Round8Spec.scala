@@ -171,16 +171,30 @@ class Round8Spec extends AnyFunSuite {
 
   test("salted hotkey join: equals the plain join and the naive ×S form; hot path actually fires") {
     import spark.implicits._
-    val hotCount = Tables(spark, sf, "lineitem")
-      .groupBy("l_orderkey").count().filter(col("count") >= 6).count()
-    assert(hotCount > 0, "fixture must contain hot keys or the salting path tests nothing")
-    val plain = Tables(spark, sf, "lineitem")
-      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
-      .orderBy("o_orderpriority").collect().toSeq
-    assert(ops.Tpch.saltedHotJoin(spark, sf).collect().toSeq == plain)
-    assert(ops.Tpch.saltedJoin(spark, sf).collect().toSeq == plain)
+    // Drive the SALTING path itself: at the production rows-per-task
+    // threshold (r21 re-calibration) the fixture's max fan-out of 7 is
+    // correctly not-hot, so lower the seam to the fixture's top fan-out
+    // band for this test — the hot branch must fire AND stay identical to
+    // the plain join.
+    val saved = ops.Tpch.HotKeyRowThreshold
+    try {
+      ops.Tpch.HotKeyRowThreshold = 6L
+      val hotCount = Tables(spark, sf, "lineitem")
+        .groupBy("l_orderkey").count().filter(col("count") >= 6).count()
+      assert(hotCount > 0, "fixture must contain hot keys or the salting path tests nothing")
+      // The operator's OWN detector (sampled candidates + exact verify,
+      // r21) must fire too — sample-missed keys are allowed, zero are not.
+      assert(ops.Tpch.saltedHotKeys(Tables(spark, sf, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")).count() > 0,
+        "the sampled detector must surface at least one hot key at this seam")
+      val plain = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(ops.Tpch.saltedHotJoin(spark, sf).collect().toSeq == plain)
+      assert(ops.Tpch.saltedJoin(spark, sf).collect().toSeq == plain)
+    } finally ops.Tpch.HotKeyRowThreshold = saved
   }
 
   // ---- SpaceSaving approx-top-k sketch ----
