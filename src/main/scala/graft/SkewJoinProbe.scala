@@ -64,7 +64,18 @@ object SkewJoinProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    TimeProbe.time("warmup count")(Tables(spark, d, "region").count())
+    // Warm the page cache over BOTH join inputs before any timed regime:
+    // the first regime otherwise pays the cold multi-GB lineitem read
+    // alone (the r21 after3 session measured the first regime's first run
+    // 135.6 s vs 82.7 warm for identical plans) and every later regime
+    // inherits the warmth — an order bias, not a plan difference. A
+    // noop-style full-column materialization per guide §1.4.
+    TimeProbe.time("warmup scan") {
+      Bench.forceEval(Tables(spark, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+      Bench.forceEval(Tables(spark, d, "orders")
+        .select("o_orderkey", "o_orderpriority"))
+    }
 
     case class Regime(name: String, fn: (SparkSession, String) => DataFrame,
                       confs: Map[String, String])
