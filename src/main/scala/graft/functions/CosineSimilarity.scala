@@ -94,6 +94,10 @@ object Functions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
 

@@ -257,7 +257,7 @@ object Dedup {
     * Kiveris et al., "Connected Components in MapReduce and Beyond",
     * O(log²) rounds, same DataFrame shape). */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
-    val (labels, converged, _) = minLabelCc(pairs, maxIterations)
+    val (labels, converged, _) = minLabelCc(pairs.localCheckpoint(), maxIterations)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: NOT converged after $maxIterations iterations — " +
         "labels may be non-minimal; raise maxIterations or use connectedComponentsAuto")
@@ -267,7 +267,29 @@ object Dedup {
   /** Min-label propagation up to `maxIterations`; returns (labels,
     * converged, rounds). Non-convergence here is a RESULT, not a warning
     * printed past the caller (ADVICE r09): [[connectedComponents]] throws
-    * on it, [[connectedComponentsAuto]] treats it as the switch trigger. */
+    * on it, [[connectedComponentsAuto]] treats it as the switch trigger.
+    *
+    * Per-round cost (r21): the convergence test rides the round's own
+    * checkpointed output as a `changed` flag computed in one co-partitioned
+    * join (both sides are groupBy/distinct-by-id outputs), instead of a
+    * separate join job per round. A pointer-jumping continuation
+    * (comp ← min(comp, comp(comp)) past the probe budget) was prototyped
+    * and REJECTED by measurement this round: on the sf100 embed graph
+    * (2.1M edges, depth > 8) it measured 238 s where the probe-then-star
+    * path costs 146.7 s and star alone 29-57 s — the comp-keyed self-join
+    * per jumped round costs more than it saves at every depth tried
+    * (bench/ccprobe3_sf100_r21s2.log).
+    *
+    * CONTRACT (r21): `pairs` must already be materialized (localCheckpoint
+    * by both callers) — the loop derives its edge view from it per round as
+    * a narrow union over checkpointed blocks, so nothing upstream of the
+    * input ever re-executes and the edge table is never materialized a
+    * second time. (Two rejected-by-measurement variants are recorded here:
+    * a fixed-width `repartition(shufflePartitions, dst)` of a checkpointed
+    * edge table — "exchange once, join exchange-free every round" — stopped
+    * AQE from coalescing the small per-round shuffles and regressed sf100
+    * q_dedup_clusters 80.7 → 98.5 s; and checkpointing BOTH pairs and the
+    * edge union cost an extra 2|E| materialization on the shallow path.) */
   private def minLabelCc(pairs: DataFrame, maxIterations: Int): (DataFrame, Boolean, Int) = {
     // Iterative DataFrame algorithms MUST truncate lineage each round:
     // `labels` appears twice per iteration (join + union), so without a
@@ -277,7 +299,6 @@ object Dedup {
     // tolerance on long chains).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -287,20 +308,21 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"))
-      val next = labels
+      // Labels only ever decrease, so "any row strictly smaller than last
+      // round" IS the convergence test. It rides the round's own checkpoint
+      // as a `changed` flag computed in a co-partitioned join (both sides
+      // are groupBy/distinct-by-id outputs), so per round there is exactly
+      // ONE data-sized shuffle (the propagation groupBy) and the
+      // convergence probe is a scan of already-materialized blocks — before
+      // r21 it was a separate join job per round.
+      val stamped = labels
         .union(viaNeighbor)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      // Labels only ever decrease, so "any row strictly smaller than last
-      // round" IS the convergence test. Both sides are groupBy(id) outputs
-      // (checkpointing preserves partitioning), so this join adds no
-      // exchange — the per-iteration overhead is one co-partitioned join
-      // plus a count on a (id, long) table, not a data-sized pass.
-      converged = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev"))
-        .isEmpty
-      labels = next
+        .select(col("id"), col("comp"), (col("comp") < col("prev")).as("changed"))
+        .localCheckpoint()
+      converged = stamped.filter(col("changed")).isEmpty
+      labels = stamped.select("id", "comp")
       iter += 1
     }
     (labels, converged, iter)
@@ -309,26 +331,48 @@ object Dedup {
   /** Strategy-auto connected components — the registered queries' entry
     * point (VERDICT r09 #6: the min-label-vs-star choice was documented at
     * call sites but manual, leaving a 50-iteration bail reachable on
-    * adversarial data). Probe with min-label for `probeIterations` rounds:
+    * adversarial data). Run min-label for `probeIterations` plain rounds:
     * real-world near-dup clusters are shallow (a dup cluster's label
     * distance is its eccentricity from the min-id doc — typically 1-3
     * hops), so the probe converges and its labels ARE the answer at one
-    * cheap co-partitioned round per hop. When the probe does NOT converge
-    * — adversarially deep chains (v1≈v2≈...≈v50 of one page) — switch to
-    * star contraction, whose O(log depth) alternations handle ANY topology;
-    * the probe's sunk cost is bounded by `probeIterations` cheap rounds.
-    * Either path ends converged or throws; labels are identical (component
-    * minima), so the choice is invisible to every oracle (StarCcSpec pins
-    * equality, including the planted deep chain through this entry point).
-    */
+    * cheap round per hop. When the probe does NOT converge — adversarially
+    * deep chains (v1≈v2≈...≈v50 of one page), or the sf100 embed near-dup
+    * graph (2.1M verified edges, depth > 8) — switch to star contraction,
+    * whose O(log depth) alternations handle ANY topology; the probe's sunk
+    * cost is bounded by `probeIterations` cheap rounds. The r21 CCONLY
+    * probe RE-ADJUDICATED this design on the sf100 embed graph
+    * (bench/ccprobe3_sf100_r21s2.log): star alone 29-57 s beats plain
+    * min-label-to-convergence 55-72 s there, so star is the right fallback
+    * algorithm, and a pointer-jumping min-label continuation (the obvious
+    * "don't discard the probe" alternative) measured 238 s — the comp-keyed
+    * self-join per jumped round costs more than the probe rounds it saves.
+    * The probe's waste on a deep graph is its 8 bounded rounds, now cheaper
+    * per round (see [[minLabelCc]]: edges exchange once, convergence rides
+    * the round's checkpoint). Either path ends converged or throws; labels
+    * are identical (component minima), so the choice is invisible to every
+    * oracle (StarCcSpec pins equality, including the planted deep chain
+    * through this entry point; the r21 sf100 probe pinned auto-vs-star
+    * label equality on the 2.1M-edge graph). */
   def connectedComponentsAuto(pairs: DataFrame, probeIterations: Int = 8): DataFrame =
     ccAutoWithStrategy(pairs, probeIterations)._1
 
   /** [[connectedComponentsAuto]] plus the chosen strategy (spec hook). */
   def ccAutoWithStrategy(pairs: DataFrame, probeIterations: Int = 8): (DataFrame, String) = {
-    val (labels, converged, _) = minLabelCc(pairs, probeIterations)
+    // Materialize the pair graph ONCE (r21): `pairs` is typically the
+    // output of an expensive verify pipeline (banded cosine, exact
+    // Jaccard), and the consumers below each re-execute their input
+    // subtree per localCheckpoint job — min-label's edge build once, and
+    // on the deep-graph path star contraction's node set and canonical
+    // edge set AGAIN. At sf100 q_embed_clusters spent ~2/3 of its 279 s
+    // re-running the 70 s banded verify three times exactly this way
+    // (target/probeq_cc_new_sf100.log vs the pre-checkpointed CCONLY
+    // probe where the same CC costs 36.6 s). One checkpoint up front
+    // makes every strategy read materialized blocks instead; the shallow
+    // path pays one extra pass over the (small) verified-pair table.
+    val p = pairs.localCheckpoint()
+    val (labels, converged, _) = minLabelCc(p, probeIterations)
     if (converged) (labels, "min-label")
-    else (connectedComponentsStar(pairs), "star")
+    else (connectedComponentsStar(p), "star")
   }
 
   /** Alternating large-star / small-star connected components (Kiveris et

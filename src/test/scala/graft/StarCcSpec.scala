@@ -47,15 +47,26 @@ class StarCcSpec extends AnyFunSuite {
   }
 
   test("auto strategy: an adversarially deep chain switches to star and still labels correctly") {
-    // 9 hops of label distance > the 6-round probe cap: exactly the shape
+    // 9 hops of label distance > the 8-round probe cap: exactly the shape
     // that used to reach the iteration bail. The REGISTERED cluster queries
     // (q_dedup_clusters, q_cluster_keep, q_embed_clusters, the curation
     // pipeline) all enter through connectedComponentsAuto, so this planted
     // chain exercises their strategy switch, not a test-only variant.
+    // (r21 re-adjudication: star IS the right fallback — on the sf100 embed
+    // graph it beats min-label-to-convergence outright, and a pointer-
+    // jumping continuation prototype measured 1.6× WORSE than probe+star;
+    // see connectedComponentsAuto's scaladoc.)
     val chain = (0L until 9L).map(i => (i, i + 1))
     val (labels, strategy) = ops.Dedup.ccAutoWithStrategy(df(chain))
     assert(strategy == "star", "past the probe cap the auto entry point must switch")
     assert(labelsOf(labels) == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("auto strategy: a 120-hop chain still labels exactly through the star fallback") {
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val (labels, strategy) = ops.Dedup.ccAutoWithStrategy(df(chain))
+    assert(strategy == "star")
+    assert(labelsOf(labels) == (0L to 120L).map(_ -> 0L).toMap)
   }
 
   test("non-convergence is a thrown error, not a stderr note") {
